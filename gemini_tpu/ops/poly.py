@@ -1,0 +1,135 @@
+"""Polynomial/vector helpers on limb arrays (misc.rs analogues).
+
+Reference semantics (documented for parity, reimplemented TPU-style):
+  fold_polynomial  misc.rs:52   out[k] = f[2k] + r*f[2k+1]
+  powers           misc.rs:59   [1, x, x^2, ...]
+  powers2          misc.rs:68   [x, x^2, x^4, ...] (2^j-th powers)
+  tensor           misc.rs:133  expansion of ⊗_j (1, rho_j)
+  evaluate_le      misc.rs:194  little-endian Horner evaluation
+  ip               misc.rs:~235 inner product
+
+Coefficient vectors are (L, N) Montgomery limb arrays; scalars are host
+Python ints (canonical).  Anything O(log N) stays host-side; anything
+O(N) is a device op.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import fp
+from ..fields.fp import FR, FieldSpec
+
+
+def scalar(spec: FieldSpec, x: int) -> jnp.ndarray:
+    """Host int -> (L, 1) Montgomery device scalar."""
+    return jnp.asarray(spec.encode([x % spec.modulus]))
+
+
+def powers_device(spec: FieldSpec, base, n: int):
+    """(L,1) Montgomery base -> (L, n) [1, b, b^2, ..., b^(n-1)].
+
+    Doubling construction: p_{2m} = [p_m, b^m * p_m] — log2(n) batched
+    muls, each a cached jitted kernel (no monolithic scan graph).
+    """
+    p = spec.ones_mont((1,))
+    cur = base  # b^(len(p))
+    while p.shape[1] < n:
+        p = jnp.concatenate([p, fp.mont_mul(spec, p, cur)], axis=1)
+        cur = fp.mont_mul(spec, cur, cur)
+    return p[:, :n]
+
+
+def powers(spec: FieldSpec, x: int, n: int) -> jnp.ndarray:
+    return powers_device(spec, scalar(spec, x), n)
+
+
+def powers_host(x: int, n: int, modulus: int | None = None) -> list[int]:
+    m = modulus or FR.modulus
+    out = [1] * n
+    for i in range(1, n):
+        out[i] = out[i - 1] * x % m
+    return out
+
+
+def powers2_host(x: int, n: int, modulus: int | None = None) -> list[int]:
+    """[x, x^2, x^4, ..., x^(2^(n-1))] (misc.rs:68 powers2)."""
+    m = modulus or FR.modulus
+    out = []
+    cur = x % m
+    for _ in range(n):
+        out.append(cur)
+        cur = cur * cur % m
+    return out
+
+
+def tensor_device(spec: FieldSpec, challenges: list[int]) -> jnp.ndarray:
+    """Expansion of ⊗_j (1, rho_j): length 2^n, t[bits] = prod rho_j^bit_j.
+
+    Built by n doubling steps: t_{j+1} = [t_j, rho_j * t_j].
+    """
+    t = spec.ones_mont((1,))
+    for rho in challenges:
+        r = scalar(spec, rho)
+        t = jnp.concatenate([t, fp.mont_mul(spec, t, r)], axis=1)
+    return t
+
+
+def hadamard(spec: FieldSpec, a, b):
+    return fp.mont_mul(spec, a, b)
+
+
+def ip(spec: FieldSpec, a, b) -> int:
+    """Inner product of two (L, N) Montgomery vectors -> canonical int."""
+    prod = fp.mont_mul(spec, a, b)
+    s = fp.lane_sum(spec, prod, axis=1)
+    return spec.decode_relaxed(jnp.asarray(s)[:, None])[0]
+
+
+def evaluate_le(spec: FieldSpec, coeffs, x: int) -> int:
+    """Evaluate sum_i coeffs[i] x^i (little-endian) at host scalar x."""
+    n = coeffs.shape[1]
+    pw = powers(spec, x, n)
+    return ip(spec, coeffs, pw)
+
+
+def evaluate_be(spec: FieldSpec, coeffs, x: int) -> int:
+    """Big-endian evaluation (highest-degree coefficient first),
+    the reference's stream convention (misc.rs:180)."""
+    n = coeffs.shape[1]
+    pw = powers(spec, x, n)[:, ::-1]
+    return ip(spec, coeffs, pw)
+
+
+@partial(jax.jit, static_argnums=0)
+def fold_polynomial(spec: FieldSpec, f, r):
+    """out[k] = f[2k] + r * f[2k+1]; f must have even length
+    (pad upstream).  r is an (L, 1) Montgomery scalar."""
+    f_e = f[:, 0::2]
+    f_o = f[:, 1::2]
+    return fp.add(spec, f_e, fp.mont_mul(spec, f_o, r))
+
+
+def pad_to(spec: FieldSpec, f, n: int):
+    """Zero-pad (L, m) to (L, n)."""
+    m = f.shape[1]
+    if m == n:
+        return f
+    assert m < n
+    return jnp.concatenate(
+        [f, jnp.zeros((spec.n_limbs, n - m), jnp.uint32)], axis=1
+    )
+
+
+def linear_combination(spec: FieldSpec, polys, coeffs: list[int]):
+    """sum_i coeffs[i] * polys[i], aligning lengths to the max
+    (misc.rs:37 linear_combination)."""
+    n = max(p.shape[1] for p in polys)
+    acc = None
+    for p, c in zip(polys, coeffs):
+        term = fp.mont_mul(spec, pad_to(spec, p, n), scalar(spec, c))
+        acc = term if acc is None else fp.add(spec, acc, term)
+    return acc

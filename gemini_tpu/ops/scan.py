@@ -1,0 +1,102 @@
+"""Associative-scan utilities composed from cached jitted kernels.
+
+`jax.lax.associative_scan` inlines its combiner at every recursion
+level into one monolithic XLA program; with field-arithmetic combiners
+(hundreds of uint32 ops each, or ~25 Montgomery muls for an EC add)
+that produces multi-minute compiles.  These helpers run the same
+work-efficient odd-even recursion in *Python*, dispatching an
+already-compiled combine kernel.
+
+Shape discipline: scan lengths must be powers of two, and both combine
+calls per level use the same (n/2) shape — so a combiner compiles at
+most log2(N) distinct shapes EVER, shared across all call sites and
+cached persistently.  Callers pad with the monoid identity (zero limbs
+/ infinity points); padding at the tail never changes inclusive-scan
+prefixes.
+
+Elements are pytrees of arrays scanned along `axis` (default 1, the
+lane axis of (L, N) limb arrays).  Work ~2N combines, depth 2 log N.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _take(tree, sl, axis):
+    def f(a):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = sl
+        return a[tuple(idx)]
+
+    return jax.tree.map(f, tree)
+
+
+def _concat(trees, axis):
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=axis), *trees)
+
+
+def _interleave(a, b, axis):
+    """Interleave two equal-size pytrees along axis: a0 b0 a1 b1 ..."""
+
+    def f(x, y):
+        st = jnp.stack([x, y], axis=axis + 1)
+        shape = list(x.shape)
+        shape[axis] = 2 * x.shape[axis]
+        return st.reshape(shape)
+
+    return jax.tree.map(f, a, b)
+
+
+def _size(tree, axis):
+    return jax.tree.leaves(tree)[0].shape[axis]
+
+
+def next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def inclusive_scan(combine: Callable, elems: Any, axis: int = 1,
+                   reverse: bool = False):
+    """Inclusive associative scan along `axis`; length must be a power
+    of two (pad with the combiner's identity first)."""
+    n = _size(elems, axis)
+    assert n & (n - 1) == 0, "inclusive_scan requires power-of-two length"
+    if reverse:
+        elems = jax.tree.map(lambda a: jnp.flip(a, axis=axis), elems)
+        out = inclusive_scan(_flip_combine(combine), elems, axis)
+        return jax.tree.map(lambda a: jnp.flip(a, axis=axis), out)
+    return _scan_rec(combine, elems, axis)
+
+
+def _scan_rec(combine, elems, axis):
+    n = _size(elems, axis)
+    if n == 1:
+        return elems
+    evens = _take(elems, slice(0, n, 2), axis)
+    odds = _take(elems, slice(1, n, 2), axis)
+    reduced = combine(evens, odds)  # scan values at odd positions
+    scanned = _scan_rec(combine, reduced, axis)
+    # even outputs: out[0] = e0; out[2i] = scanned[i-1] . e[2i].
+    # Build at full n/2 width (uniform shape): shift `scanned` right by
+    # one (slot 0 holds a dummy whose result is discarded below).
+    scanned_shift = _concat(
+        [_take(scanned, slice(0, 1), axis),
+         _take(scanned, slice(0, n // 2 - 1), axis)], axis
+    ) if n > 2 else scanned
+    evens_combined = combine(scanned_shift, evens)
+    evens_out = _concat(
+        [_take(evens, slice(0, 1), axis),
+         _take(evens_combined, slice(1, n // 2), axis)], axis
+    )
+    return _interleave(evens_out, scanned, axis)
+
+
+def _flip_combine(combine):
+    def f(a, b):
+        return combine(b, a)
+
+    return f

@@ -1,0 +1,61 @@
+"""MSM kernel vs oracle (SURVEY.md §7 step 5 gate — the analogue of the
+reference's Pippenger-vs-naive tests, variable_base.rs:180-215)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from gemini_tpu.params import R
+from gemini_tpu.refimpl import g1_generator, g1_mul, g1_msm
+from gemini_tpu.curve import encode_affine, decode_jacobian
+from gemini_tpu.fields.fp import FR
+from gemini_tpu.ops.msm import msm, extract_digits
+
+rnd = random.Random(5)
+G = g1_generator()
+
+
+def _encode_scalars(ks):
+    return jnp.asarray(FR.encode(ks, mont=False))
+
+
+def test_extract_digits_roundtrip():
+    ks = [rnd.randrange(R) for _ in range(5)]
+    enc = _encode_scalars(ks)
+    for c in (3, 13, 16):
+        digits = np.asarray(extract_digits(enc, c))
+        for j, k in enumerate(ks):
+            rec = sum(int(digits[w, j]) << (c * w) for w in range(digits.shape[0]))
+            assert rec == k
+
+
+def test_msm_small_exact():
+    n = 17
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)]
+    ks = [rnd.randrange(R) for _ in range(n)]
+    got = decode_jacobian(msm(encode_affine(pts), _encode_scalars(ks)))[0]
+    # oracle via scalar ops on the generator discrete logs is too slow;
+    # use refimpl naive msm directly.
+    assert got == g1_msm(pts, ks)
+
+
+def test_msm_edge_scalars():
+    pts_raw = [g1_mul(G, i + 2) for i in range(8)]
+    pts = pts_raw[:6] + [None, pts_raw[7]]
+    ks = [0, 1, R - 1, 2, 0, rnd.randrange(R), 12345, 0]
+    got = decode_jacobian(msm(encode_affine(pts), _encode_scalars(ks)))[0]
+    expect = g1_msm([p for p in pts if p is not None],
+                    [k for p, k in zip(pts, ks) if p is not None])
+    assert got == expect
+
+
+def test_msm_duplicate_digits_and_windows():
+    # many equal scalars stress the segment machinery
+    n = 64
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)]
+    ks = [7] * 32 + [rnd.randrange(R) for _ in range(31)] + [0]
+    for c in (4, 8):
+        got = decode_jacobian(
+            msm(encode_affine(pts), _encode_scalars(ks), c=c))[0]
+        assert got == g1_msm(pts, ks)
