@@ -214,14 +214,14 @@ def neg(spec: FieldSpec, a):
     return sub(spec, jnp.zeros_like(a), a)
 
 
-@partial(jax.jit, static_argnums=0)
-def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product a*b*R^{-1} mod p, elementwise over the batch
-    (broadcasting between a and b batch shapes is supported).
+def _cios(spec: FieldSpec, a, b):
+    """Montgomery CIOS core: a (E, *batch) normalized limbs (E may
+    exceed L), b (L, *batch) normalized < p.  Returns
+    a * b * 2^(-LIMB_BITS*E) mod p, normalized (L, *batch).
 
-    CIOS with deferred carries; accumulator bound (L+1 relaxed uint32
-    limbs): each outer iteration adds 4 16-bit terms per position plus
-    a shifted-out carry, so max < L*(4*2^16 + 2^8) << 2^32 for L<=24.
+    Deferred carries; accumulator bound (L+1 relaxed uint32 limbs):
+    each outer iteration adds 4 16-bit terms per position plus a
+    shifted-out carry, so max < E*(4*2^16 + 2^8) << 2^32 for E <= 26.
     """
     L = spec.n_limbs
     n0inv = jnp.uint32(spec.n0inv)
@@ -261,6 +261,41 @@ def mont_mul(spec: FieldSpec, a, b):
     take_diff = jnp.logical_or(hi > 0, borrow == 0)
     out = [jnp.where(take_diff, d, x) for x, d in zip(t[:L], diff)]
     return _stack(out)
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product a*b*R^{-1} mod p, elementwise over the batch
+    (broadcasting between a and b batch shapes is supported)."""
+    return _cios(spec, a, b)
+
+
+@partial(jax.jit, static_argnums=0)
+def reduce_relaxed(spec: FieldSpec, v):
+    """Reduce relaxed uint32 limbs (E rows, E >= L allowed, any limb
+    < 2^32 - 2^16) into a normalized element of [0, p).
+
+    Value-preserving mod p: if the relaxed limbs are a sum of
+    Montgomery-form elements, the result is the Montgomery form of the
+    field sum.  This is the device-side companion of
+    `decode_relaxed` — use it where lane/segment sums must stay on
+    device (sparse matvec, scatter accumulation).
+
+    Method: carry-propagate to E+1 16-bit limbs, then one CIOS pass
+    against the constant K = 2^(16*(E+1)) mod p, which computes
+    V * K * 2^(-16*(E+1)) = V mod p.
+    """
+    limbs, carry = _carry_propagate(_unstack(v))
+    limbs.append(carry)
+    a = _stack(limbs)
+    E = a.shape[0]
+    K = pow(2, LIMB_BITS * E, spec.modulus)
+    k = jnp.asarray(
+        _int_to_limbs(K, spec.n_limbs).reshape(
+            (spec.n_limbs,) + (1,) * (v.ndim - 1)
+        )
+    )
+    return _cios(spec, a, k)
 
 
 @partial(jax.jit, static_argnums=0)
