@@ -3,25 +3,25 @@
 The reference's MSM is bucket-scatter Pippenger on CPU threads
 (algorithm documented at /root/reference/src/kzg/msm/variable_base.rs,
 superseded upstream; SURVEY.md §3.5).  Data-dependent scatter-adds
-serialize badly on vector hardware, so this implementation reformulates
-bucket accumulation as fully-parallel primitives:
+serialize badly on vector hardware, so bucket accumulation is
+reformulated as fully-parallel primitives, and — critically for a
+remote-dispatch TPU — the whole pipeline compiles to THREE kernels:
 
-  per window:
-    1. digit extraction         (elementwise bit slicing on limb vectors)
-    2. argsort by digit         (XLA sort, N log N on int keys)
-    3. gather points            (one (L, N) gather)
-    4. segmented inclusive scan (jax.lax.associative_scan with the
-                                 *complete* Jacobian add as combiner and
-                                 segment-reset flags -> bucket totals at
-                                 segment ends; ~2N point-adds, log depth)
-    5. boundary scatter         (pure data movement into the 2^c table)
-    6. suffix scan + tree sum   (sum_j j * bucket_j via reverse
-                                 associative scan; ~3 * 2^c point-adds)
-  then a Horner combine over windows (c doublings per window).
+  1. `_window_chunk` (one dispatch per window chunk, windows batched):
+     digit extraction, per-window argsort, point gather, segmented
+     inclusive scan with the complete Jacobian add as combiner
+     (~2N adds, log depth), boundary scatter into the 2^c bucket
+     table, suffix scan + tree reduction -> per-window totals.
+  2. `_horner_kernel` (one dispatch): result = sum_w 2^(c*w) T_w as a
+     255-step `lax.fori_loop` of double + conditional add.
 
-Total ~2N + 3*2^c point-adds per window, all in (L, lanes) layout.
-Scalars enter in canonical (non-Montgomery) limb form; points as affine
-with infinity masks.
+Inside each jit the odd-even scans unroll into log(N) tape-VM
+subgraphs (ops/tape.py), so compile stays minutes-bounded and cached
+while runtime is a handful of dispatches instead of hundreds (the
+axon tunnel charges ~10ms per dispatch).
+
+Total ~2N + 3*2^c point-adds per window.  Scalars enter in canonical
+(non-Montgomery) limb form; points as affine with infinity masks.
 """
 
 from __future__ import annotations
@@ -39,6 +39,10 @@ from ..curve.g1 import APoint, JPoint
 from . import scan as scan_util
 
 LIMB_BITS = fp.LIMB_BITS
+
+# Windows processed per dispatch: bounds peak memory (the scan holds
+# ~4x (L, Wc, N) uint32 live) while amortizing dispatch latency.
+WINDOW_CHUNK = 4
 
 
 def default_window(n: int) -> int:
@@ -68,105 +72,122 @@ def extract_digits(scalars: jnp.ndarray, c: int, n_bits: int = 255):
     return jnp.stack(digits, axis=0)
 
 
-@jax.jit
-def _seg_scan_combine(a, b):
-    """Segmented-sum monoid: (v1,f1) . (v2,f2) =
-    (f2 ? v2 : v1+v2, f1|f2)."""
+def _seg_combine(a, b):
+    """Segmented-sum monoid over dict pytrees with batch (Wc, n):
+    (v1,f1) . (v2,f2) = (f2 ? v2 : v1+v2, f1|f2)."""
     pa = JPoint(a["x"], a["y"], a["z"])
     pb = JPoint(b["x"], b["y"], b["z"])
     s = g1.add(pa, pb)
     start_b = b["flag"][0]
     out = g1.select_point(start_b, pb, s)
-    return dict(
-        x=out.x, y=out.y, z=out.z, flag=a["flag"] | b["flag"]
-    )
+    return dict(x=out.x, y=out.y, z=out.z, flag=a["flag"] | b["flag"])
 
 
-_add_jit = jax.jit(lambda a, b: tuple(g1.add(JPoint(*a), JPoint(*b))))
-_double_jit = jax.jit(lambda p: tuple(g1.double(JPoint(*p))))
+def _add_tuple(a, b):
+    return tuple(g1.add(JPoint(*a), JPoint(*b)))
 
 
-def _tree_reduce_add(p: JPoint) -> JPoint:
-    """Sum a (L, N) batch of Jacobian points to a single (L, 1) point
-    by halving; N need not be a power of two."""
-    while p.x.shape[1] > 1:
-        n = p.x.shape[1]
-        half = (n + 1) // 2
-        if n % 2:
-            inf = g1.infinity((1,))
-            p = JPoint(
-                jnp.concatenate([p.x, inf.x], axis=1),
-                jnp.concatenate([p.y, inf.y], axis=1),
-                jnp.concatenate([p.z, inf.z], axis=1),
-            )
-        lo = (p.x[:, :half], p.y[:, :half], p.z[:, :half])
-        hi = (p.x[:, half:], p.y[:, half:], p.z[:, half:])
-        p = JPoint(*_add_jit(lo, hi))
+def _tree_reduce_last(p: JPoint) -> JPoint:
+    """Sum a (L, ..., n) batch of Jacobian points along the last axis
+    (power-of-two n) by halving inside the current trace."""
+    while p.x.shape[-1] > 1:
+        h = p.x.shape[-1] // 2
+        lo = (p.x[..., :h], p.y[..., :h], p.z[..., :h])
+        hi = (p.x[..., h:], p.y[..., h:], p.z[..., h:])
+        p = JPoint(*_add_tuple(lo, hi))
     return p
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _prepare_window(points: APoint, dig, c: int):
-    """Sort by digit, build segment flags, and compute the scan input
-    plus the segment-end scatter indices (all data movement)."""
-    n = points.x.shape[1]
+@partial(jax.jit, static_argnums=(4,))
+def _window_chunk(px, py, pinf, digits, c: int):
+    """Bucket-accumulate a chunk of windows in one kernel.
+
+    px/py: (L, N) affine coords; pinf: (N,); digits: (Wc, N).
+    Returns window totals (L, Wc) x/y/z.
+    """
+    Wc, n = digits.shape
     n_buckets = 1 << c
-    order = jnp.argsort(dig)
-    sd = dig[order]
-    px = points.x[:, order]
-    py = points.y[:, order]
-    pz_one = FQ.ones_mont((n,))
-    pz = fp.select(points.inf[order], FQ.zeros((n,)), pz_one)
+
+    order = jnp.argsort(digits, axis=1)  # (Wc, N)
+    sd = jnp.take_along_axis(digits, order, axis=1)
+    gx = px[:, order]  # (L, Wc, N)
+    gy = py[:, order]
+    ginf = pinf[order]  # (Wc, N)
+    z_one = FQ.ones_mont((Wc, n))
+    gz = fp.select(ginf, FQ.zeros((Wc, n)), z_one)
     # zero digits contribute nothing: treat as infinity so the segment
     # machinery never adds them (bucket 0 is discarded anyway).
-    pz = fp.select(sd == 0, FQ.zeros((n,)), pz)
-    head = jnp.concatenate([jnp.ones((1,), jnp.bool_), sd[1:] != sd[:-1]])
-    is_end = jnp.concatenate([sd[1:] != sd[:-1], jnp.ones((1,), jnp.bool_)])
-    idx = jnp.where(is_end, sd, n_buckets)
-    return dict(x=px, y=py, z=pz, flag=head[None, :]), idx
+    gz = fp.select(sd == 0, FQ.zeros((Wc, n)), gz)
 
+    ones = jnp.ones((Wc, 1), jnp.bool_)
+    head = jnp.concatenate([ones, sd[:, 1:] != sd[:, :-1]], axis=1)
+    is_end = jnp.concatenate([sd[:, 1:] != sd[:, :-1], ones], axis=1)
+    idx = jnp.where(is_end, sd, n_buckets)  # overflow slot for non-ends
 
-@partial(jax.jit, static_argnums=(2,))
-def _scatter_buckets(scanned, idx, c: int):
-    """Segment totals -> dense (2^c - 1)-entry bucket table (drops
-    bucket 0 and the overflow slot); empty buckets stay at infinity."""
-    n_buckets = 1 << c
+    elems = dict(x=gx, y=gy, z=gz, flag=head[None])
+    scanned = scan_util.inclusive_scan(_seg_combine, elems, axis=-1)
+
+    # scatter segment totals into the dense bucket table (drop bucket 0
+    # and the overflow slot; empty buckets stay at infinity z=0)
+    warr = jnp.arange(Wc)[:, None]
     tbl = [
-        jnp.zeros((FQ.n_limbs, n_buckets + 1), jnp.uint32).at[:, idx]
-        .set(scanned[k], mode="drop")[:, 1:n_buckets]
+        jnp.zeros((FQ.n_limbs, Wc, n_buckets + 1), jnp.uint32)
+        .at[:, warr, idx].set(scanned[k], mode="drop")[:, :, 1:n_buckets]
         for k in ("x", "y", "z")
     ]
-    return JPoint(*tbl)
-
-
-def _one_window(points: APoint, dig, c: int) -> JPoint:
-    elems, idx = _prepare_window(points, dig, c)
-    scanned = scan_util.inclusive_scan(_seg_scan_combine, elems, axis=1)
-    buckets = _scatter_buckets(scanned, idx, c)
-    # pad the (2^c - 1)-entry table with one infinity so the suffix
-    # scan runs at power-of-two shapes (identity at the tail is a
-    # no-op for suffix sums).
-    inf = g1.infinity((1,))
+    # pad to power-of-two bucket count with one infinity (identity at
+    # the tail is a no-op for suffix sums)
+    inf_col = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
+    one_col = jnp.broadcast_to(
+        jnp.asarray(FQ.one_mont_limbs).reshape(-1, 1, 1),
+        (FQ.n_limbs, Wc, 1),
+    ).astype(jnp.uint32)
     padded = (
-        jnp.concatenate([buckets.x, inf.x], axis=1),
-        jnp.concatenate([buckets.y, inf.y], axis=1),
-        jnp.concatenate([buckets.z, inf.z], axis=1),
+        jnp.concatenate([tbl[0], one_col], axis=2),
+        jnp.concatenate([tbl[1], one_col], axis=2),
+        jnp.concatenate([tbl[2], inf_col], axis=2),
     )
-    # suffix sums S_k = sum_{j>=k} bucket_j; window total =
-    # sum_k S_k = sum_j j*bucket_j.
-    suffix = scan_util.inclusive_scan(_add_jit, padded, axis=1, reverse=True)
-    return _tree_reduce_add(JPoint(*suffix))
+    # suffix sums S_k = sum_{j>=k} bucket_j; window total = sum_k S_k
+    # = sum_j j * bucket_j.
+    suffix = scan_util.inclusive_scan(
+        _add_tuple, padded, axis=-1, reverse=True
+    )
+    total = _tree_reduce_last(JPoint(*suffix))
+    return total.x[..., 0], total.y[..., 0], total.z[..., 0]  # (L, Wc)
 
 
-def _horner_combine(window_totals: list[JPoint], c: int) -> JPoint:
-    """acc = 2^c * acc + window, from the top window down; (L, 1)
-    batches, cached jitted double/add kernels."""
-    acc = tuple(window_totals[-1])
-    for wpt in reversed(window_totals[:-1]):
-        for _ in range(c):
-            acc = _double_jit(acc)
-        acc = _add_jit(acc, tuple(wpt))
-    return JPoint(*acc)
+@partial(jax.jit, static_argnums=(1, 2))
+def _horner_kernel(totals, c: int, n_bits: int):
+    """result = sum_w 2^(c*w) * T_w via one fori_loop of
+    double + (conditional) add; totals: (L, W) x/y/z tuple."""
+    tx, ty, tz = totals
+    W = tx.shape[1]
+    top_bit = c * (W - 1)
+
+    # acc starts at T_{W-1}; for bit b from top_bit-1 down to 0:
+    # acc = 2*acc; if b % c == 0: acc += T_{b//c}.
+    acc = (tx[:, -1:], ty[:, -1:], tz[:, -1:])
+
+    def loop_body(i, acc):
+        b = top_bit - 1 - i
+        d = g1.double(JPoint(*acc))
+        w = b // c
+        is_window = (b % c) == 0
+        tw = (
+            jax.lax.dynamic_slice_in_dim(tx, w, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(ty, w, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(tz, w, 1, axis=1),
+        )
+        # identity when not at a window boundary
+        tw = JPoint(
+            tw[0], tw[1],
+            jnp.where(is_window, tw[2], jnp.zeros_like(tw[2])),
+        )
+        out = g1.add(d, tw)
+        return (out.x, out.y, out.z)
+
+    acc = jax.lax.fori_loop(0, top_bit, loop_body, acc)
+    return acc
 
 
 def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
@@ -193,13 +214,29 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
             jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
         )
         scalars = jnp.concatenate(
-            [scalars, jnp.zeros((FR.n_limbs, pad), jnp.uint32)], axis=1
+            [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], axis=1
         )
     digits = extract_digits(scalars, c, n_bits)
-    windows = [
-        _one_window(points, digits[w], c) for w in range(digits.shape[0])
-    ]
-    return _horner_combine(windows, c)
+    W = digits.shape[0]
+    tx, ty, tz = [], [], []
+    for w0 in range(0, W, WINDOW_CHUNK):
+        chunk = digits[w0: w0 + WINDOW_CHUNK]
+        if chunk.shape[0] < WINDOW_CHUNK:  # keep one compiled shape
+            fill = jnp.zeros(
+                (WINDOW_CHUNK - chunk.shape[0], chunk.shape[1]), jnp.uint32
+            )
+            chunk = jnp.concatenate([chunk, fill], axis=0)
+        x, y, z = _window_chunk(points.x, points.y, points.inf, chunk, c)
+        tx.append(x)
+        ty.append(y)
+        tz.append(z)
+    totals = (
+        jnp.concatenate(tx, axis=1)[:, :W],
+        jnp.concatenate(ty, axis=1)[:, :W],
+        jnp.concatenate(tz, axis=1)[:, :W],
+    )
+    acc = _horner_kernel(totals, c, n_bits)
+    return JPoint(*acc)
 
 
 def msm_mont_scalars(points: APoint, scalars_mont: jnp.ndarray,

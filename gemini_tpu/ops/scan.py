@@ -62,7 +62,9 @@ def next_pow2(n: int) -> int:
 def inclusive_scan(combine: Callable, elems: Any, axis: int = 1,
                    reverse: bool = False):
     """Inclusive associative scan along `axis`; length must be a power
-    of two (pad with the combiner's identity first)."""
+    of two (pad with the combiner's identity first).  All pytree leaves
+    must share ndim (negative axes are normalized against it)."""
+    axis = axis % jax.tree.leaves(elems)[0].ndim
     n = _size(elems, axis)
     assert n & (n - 1) == 0, "inclusive_scan requires power-of-two length"
     if reverse:
