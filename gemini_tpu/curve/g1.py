@@ -173,9 +173,99 @@ def select_point(mask, a: JPoint | APoint, b: JPoint | APoint):
     )
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas kernels (curve/pallas_g1.py) are EXPERIMENTAL and
+    currently disabled: on this hardware the lane-tiled XLA tape path
+    (ops/tape.py TAPE_TILE) matches their throughput without the
+    minutes-long Mosaic compiles.  Flip via GEMINI_TPU_PALLAS=1."""
+    import os
+
+    if os.environ.get("GEMINI_TPU_PALLAS") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# Below this many lanes the sequential tape VM costs more than it
+# saves: use the flat formula (compiled per tiny shape, cached).  The
+# Horner loop and tree-reduction tails live here.
+SMALL_BATCH = 64
+
+
+def _nlanes(p: JPoint) -> int:
+    n = 1
+    for d in p.x.shape[1:]:
+        n *= d
+    return n
+
+
+def _use_flat_small(p: JPoint) -> bool:
+    """Flat formulas for tiny batches only on TPU: there the tape VM's
+    ~1000 sequential micro-steps cost ~3 ms per op, while the flat
+    graph compiles in ~10 s (cached).  On the CPU backend the flat
+    compile is ~90 s per shape and the tape runs fine — keep the tape."""
+    if _nlanes(p) > SMALL_BATCH:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _double_flat(p: JPoint) -> JPoint:
+    """dbl-2009-l with fused unrolled muls (small batches)."""
+    mul = lambda a, b: fp.mont_mul_unrolled(S, a, b)
+    a = mul(p.x, p.x)
+    b = mul(p.y, p.y)
+    c = mul(b, b)
+    d = _dbl(_sub(mul(_add(p.x, b), _add(p.x, b)), _add(a, c)))
+    e = _add(_dbl(a), a)
+    f = mul(e, e)
+    x3 = _sub(f, _dbl(d))
+    c8 = _dbl(_dbl(_dbl(c)))
+    y3 = _sub(mul(e, _sub(d, x3)), c8)
+    z3 = _dbl(mul(p.y, p.z))
+    return JPoint(x3, y3, z3)
+
+
+def _add_flat(p: JPoint, q: JPoint) -> JPoint:
+    """Complete add with fused unrolled muls (small batches)."""
+    mul = lambda a, b: fp.mont_mul_unrolled(S, a, b)
+    z1z1 = mul(p.z, p.z)
+    z2z2 = mul(q.z, q.z)
+    u1 = mul(p.x, z2z2)
+    u2 = mul(q.x, z1z1)
+    s1 = mul(mul(p.y, q.z), z2z2)
+    s2 = mul(mul(q.y, p.z), z1z1)
+    h = _sub(u2, u1)
+    h2 = _dbl(h)
+    i = mul(h2, h2)
+    j = mul(h, i)
+    r = _dbl(_sub(s2, s1))
+    v = mul(u1, i)
+    x3 = _sub(_sub(mul(r, r), j), _dbl(v))
+    y3 = _sub(mul(r, _sub(v, x3)), _dbl(mul(s1, j)))
+    zs = _add(p.z, q.z)
+    z3 = mul(_sub(mul(zs, zs), _add(z1z1, z2z2)), h)
+    out = JPoint(x3, y3, z3)
+    same = jnp.logical_and(fp.is_zero(S, h), fp.is_zero(S, r))
+    out = select_point(same, _double_flat(p), out)
+    out = select_point(is_infinity(p), q, out)
+    out = select_point(is_infinity(q), p, out)
+    return out
+
+
 def double(p: JPoint) -> JPoint:
     """dbl-2009-l (2M + 5S).  Maps infinity to infinity and 2-torsion
     (y = 0) to infinity via z3 = 2 y z."""
+    if _use_flat_small(p):
+        return _double_flat(p)
+    if _use_pallas():
+        from . import pallas_g1
+
+        return JPoint(*pallas_g1.double(p))
     x3, y3, z3 = tape.run(S, _DBL_PROG, [p.x, p.y, p.z])
     return JPoint(x3, y3, z3)
 
@@ -183,6 +273,12 @@ def double(p: JPoint) -> JPoint:
 def add(p: JPoint, q: JPoint) -> JPoint:
     """Complete Jacobian addition (add-2007-bl + doubling fallback +
     identity selects)."""
+    if _use_flat_small(p):
+        return _add_flat(p, q)
+    if _use_pallas():
+        from . import pallas_g1
+
+        return JPoint(*pallas_g1.add(p, q))
     x3, y3, z3, h, r, xd, yd, zd = tape.run(
         S, _ADD_PROG, [p.x, p.y, p.z, q.x, q.y, q.z]
     )
@@ -198,6 +294,8 @@ def add(p: JPoint, q: JPoint) -> JPoint:
 
 def add_mixed(p: JPoint, q: APoint) -> JPoint:
     """Complete mixed addition (madd-2007-bl, 7M + 4S + selects)."""
+    if _use_pallas():
+        return add(p, from_affine(q))
     x3, y3, z3, h, r, xd, yd, zd = tape.run(
         S, _MADD_PROG, [p.x, p.y, p.z, q.x, q.y]
     )

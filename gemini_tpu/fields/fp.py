@@ -270,6 +270,53 @@ def mont_mul(spec: FieldSpec, a, b):
     return _cios(spec, a, b)
 
 
+def mont_mul_unrolled(spec: FieldSpec, a, b):
+    """CIOS with the limb loop fully unrolled (no lax.scan).
+
+    Bit-identical to `mont_mul`.  ~40x more HLO ops, so compile is
+    slower — but with no sequential scan the whole multiply is one
+    fusible elementwise graph: XLA keeps every intermediate in
+    VMEM/registers and sequential-step overhead disappears.  This is
+    the hot-path form (used by the tape VM); the scan form remains for
+    compile-cheap cold paths.
+    """
+    L = spec.n_limbs
+    n0inv = jnp.uint32(spec.n0inv)
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    q = jnp.asarray(spec.mod_limbs.reshape((L,) + (1,) * len(bshape)))
+    b = jnp.broadcast_to(b, (L, *bshape)).astype(jnp.uint32)
+    zero = jnp.zeros(bshape, dtype=jnp.uint32)
+
+    # accumulator as L+2 relaxed rows, index-offset (no shifting):
+    # t[k] accumulates products at weight 2^(16(k+i)) after i drops.
+    t = [zero] * (L + 2)
+    for i in range(L):
+        ai = a[i]
+        p = ai[None] * b
+        plo = p & MASK
+        phi = p >> LIMB_BITS
+        for j in range(L):
+            t[j] = t[j] + plo[j]
+            t[j + 1] = t[j + 1] + phi[j]
+        m = (t[0] * n0inv) & MASK
+        p2 = m[None] * q
+        p2lo = p2 & MASK
+        p2hi = p2 >> LIMB_BITS
+        for j in range(L):
+            t[j] = t[j] + p2lo[j]
+            t[j + 1] = t[j + 1] + p2hi[j]
+        carry0 = t[0] >> LIMB_BITS
+        t = t[1:] + [zero]
+        t[0] = t[0] + carry0
+
+    t, overflow = _carry_propagate(t)
+    hi = t[L] + t[L + 1] + overflow
+    diff, borrow = _sub_with_borrow(t[:L], _unstack(q))
+    take_diff = jnp.logical_or(hi > 0, borrow == 0)
+    out = [jnp.where(take_diff, d, x) for x, d in zip(t[:L], diff)]
+    return _stack(out)
+
+
 @partial(jax.jit, static_argnums=0)
 def reduce_relaxed(spec: FieldSpec, v):
     """Reduce relaxed uint32 limbs (E rows, E >= L allowed, any limb

@@ -167,6 +167,10 @@ class CommitterKey:
     def commit(self, coeffs: jnp.ndarray) -> G1Host:
         """One G1 MSM over the SRS prefix; coeffs Montgomery (L, n)."""
         n = coeffs.shape[1]
+        assert n <= self.powers_of_g.x.shape[1], (
+            f"polynomial length {n} exceeds SRS size "
+            f"{self.powers_of_g.x.shape[1]}"
+        )
         result = msm_mont_scalars(
             _apoint_slice(self.powers_of_g, n), coeffs
         )

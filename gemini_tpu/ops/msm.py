@@ -3,25 +3,28 @@
 The reference's MSM is bucket-scatter Pippenger on CPU threads
 (algorithm documented at /root/reference/src/kzg/msm/variable_base.rs,
 superseded upstream; SURVEY.md §3.5).  Data-dependent scatter-adds
-serialize badly on vector hardware, so bucket accumulation is
-reformulated as fully-parallel primitives, and — critically for a
-remote-dispatch TPU — the whole pipeline compiles to THREE kernels:
+serialize badly on vector hardware, so bucket accumulation uses the
+threshold-suffix identity instead:
 
-  1. `_window_chunk` (one dispatch per window chunk, windows batched):
-     digit extraction, per-window argsort, point gather, segmented
-     inclusive scan with the complete Jacobian add as combiner
-     (~2N adds, log depth), boundary scatter into the 2^c bucket
-     table, suffix scan + tree reduction -> per-window totals.
-  2. `_horner_kernel` (one dispatch): result = sum_w 2^(c*w) T_w as a
-     255-step `lax.fori_loop` of double + conditional add.
+    sum_i d_i P_i = sum_{k=1}^{2^c-1} ( sum_{i: d_i >= k} P_i )
 
-Inside each jit the odd-even scans unroll into log(N) tape-VM
-subgraphs (ops/tape.py), so compile stays minutes-bounded and cached
-while runtime is a handful of dispatches instead of hundreds (the
-axon tunnel charges ~10ms per dispatch).
+With points sorted by digit, each inner sum is one entry of the
+suffix-sum array, so per window the bucket phase is one plain-add
+suffix scan over sorted points (~2N complete Jacobian adds) + a
+2^c-entry gather + a tree reduction — no segment flags, no scatter.
 
-Total ~2N + 3*2^c point-adds per window.  Scalars enter in canonical
-(non-Montgomery) limb form; points as affine with infinity masks.
+Orchestration (see ops/ec_scan.py for the compile-cost rationale):
+windows are processed in chunks of WINDOW_CHUNK as a batch axis; the
+scan/reduction phases are top-level dispatches reusing ONE compiled
+tiled-add kernel; the final Horner combine
+
+    result = sum_w 2^(c*w) T_w
+
+runs as a single 255-step `fori_loop` kernel of flat double+add
+(batch-1 EC ops use the fused flat formulas, curve/g1.py SMALL_BATCH).
+
+Scalars enter in canonical (non-Montgomery) limb form; points as
+affine with infinity masks.
 """
 
 from __future__ import annotations
@@ -36,12 +39,13 @@ from ..fields import fp
 from ..fields.fp import FQ, FR
 from ..curve import g1
 from ..curve.g1 import APoint, JPoint
+from . import ec_scan
 from . import scan as scan_util
 
 LIMB_BITS = fp.LIMB_BITS
 
-# Windows processed per dispatch: bounds peak memory (the scan holds
-# ~4x (L, Wc, N) uint32 live) while amortizing dispatch latency.
+# Windows per batch: bounds peak memory (suffix scan holds ~6x
+# (L, Wc, N) uint32 live: ~2.4 GB at Wc=4, N=2^20).
 WINDOW_CHUNK = 4
 
 
@@ -72,88 +76,51 @@ def extract_digits(scalars: jnp.ndarray, c: int, n_bits: int = 255):
     return jnp.stack(digits, axis=0)
 
 
-def _seg_combine(a, b):
-    """Segmented-sum monoid over dict pytrees with batch (Wc, n):
-    (v1,f1) . (v2,f2) = (f2 ? v2 : v1+v2, f1|f2)."""
-    pa = JPoint(a["x"], a["y"], a["z"])
-    pb = JPoint(b["x"], b["y"], b["z"])
-    s = g1.add(pa, pb)
-    start_b = b["flag"][0]
-    out = g1.select_point(start_b, pb, s)
-    return dict(x=out.x, y=out.y, z=out.z, flag=a["flag"] | b["flag"])
+@jax.jit
+def _sort_gather(px, py, pinf, digits):
+    """Sort each window's points by digit.
 
-
-def _add_tuple(a, b):
-    return tuple(g1.add(JPoint(*a), JPoint(*b)))
-
-
-def _tree_reduce_last(p: JPoint) -> JPoint:
-    """Sum a (L, ..., n) batch of Jacobian points along the last axis
-    (power-of-two n) by halving inside the current trace."""
-    while p.x.shape[-1] > 1:
-        h = p.x.shape[-1] // 2
-        lo = (p.x[..., :h], p.y[..., :h], p.z[..., :h])
-        hi = (p.x[..., h:], p.y[..., h:], p.z[..., h:])
-        p = JPoint(*_add_tuple(lo, hi))
-    return p
+    px/py: (L, N); pinf: (N,); digits: (Wc, N).
+    Returns gx, gy, gz (L, Wc, N) Jacobian coords (z = 0 for infinity
+    or digit-0 points) and sd (Wc, N) sorted digits.
+    """
+    Wc, n = digits.shape
+    order = jnp.argsort(digits, axis=1)
+    sd = jnp.take_along_axis(digits, order, axis=1)
+    gx = px[:, order]
+    gy = py[:, order]
+    ginf = pinf[order]
+    z_one = FQ.ones_mont((Wc, n))
+    gz = fp.select(ginf, FQ.zeros((Wc, n)), z_one)
+    gz = fp.select(sd == 0, FQ.zeros((Wc, n)), gz)
+    return gx, gy, gz, sd
 
 
 @partial(jax.jit, static_argnums=(4,))
-def _window_chunk(px, py, pinf, digits, c: int):
-    """Bucket-accumulate a chunk of windows in one kernel.
-
-    px/py: (L, N) affine coords; pinf: (N,); digits: (Wc, N).
-    Returns window totals (L, Wc) x/y/z.
-    """
-    Wc, n = digits.shape
+def _gather_boundaries(sx, sy, sz, sd, c: int):
+    """Suffix sums at threshold boundaries: entry k-1 holds
+    sum_{d_i >= k} P_i for k = 1..2^c-1, padded to 2^c with infinity."""
+    Wc, n = sd.shape
     n_buckets = 1 << c
-
-    order = jnp.argsort(digits, axis=1)  # (Wc, N)
-    sd = jnp.take_along_axis(digits, order, axis=1)
-    gx = px[:, order]  # (L, Wc, N)
-    gy = py[:, order]
-    ginf = pinf[order]  # (Wc, N)
-    z_one = FQ.ones_mont((Wc, n))
-    gz = fp.select(ginf, FQ.zeros((Wc, n)), z_one)
-    # zero digits contribute nothing: treat as infinity so the segment
-    # machinery never adds them (bucket 0 is discarded anyway).
-    gz = fp.select(sd == 0, FQ.zeros((Wc, n)), gz)
-
-    ones = jnp.ones((Wc, 1), jnp.bool_)
-    head = jnp.concatenate([ones, sd[:, 1:] != sd[:, :-1]], axis=1)
-    is_end = jnp.concatenate([sd[:, 1:] != sd[:, :-1], ones], axis=1)
-    idx = jnp.where(is_end, sd, n_buckets)  # overflow slot for non-ends
-
-    elems = dict(x=gx, y=gy, z=gz, flag=head[None])
-    scanned = scan_util.inclusive_scan(_seg_combine, elems, axis=-1)
-
-    # scatter segment totals into the dense bucket table (drop bucket 0
-    # and the overflow slot; empty buckets stay at infinity z=0)
-    warr = jnp.arange(Wc)[:, None]
-    tbl = [
-        jnp.zeros((FQ.n_limbs, Wc, n_buckets + 1), jnp.uint32)
-        .at[:, warr, idx].set(scanned[k], mode="drop")[:, :, 1:n_buckets]
-        for k in ("x", "y", "z")
-    ]
-    # pad to power-of-two bucket count with one infinity (identity at
-    # the tail is a no-op for suffix sums)
+    # append empty-suffix (infinity) at index n
     inf_col = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
-    one_col = jnp.broadcast_to(
-        jnp.asarray(FQ.one_mont_limbs).reshape(-1, 1, 1),
-        (FQ.n_limbs, Wc, 1),
-    ).astype(jnp.uint32)
-    padded = (
-        jnp.concatenate([tbl[0], one_col], axis=2),
-        jnp.concatenate([tbl[1], one_col], axis=2),
-        jnp.concatenate([tbl[2], inf_col], axis=2),
+    sx = jnp.concatenate([sx, inf_col], axis=2)
+    sy = jnp.concatenate([sy, inf_col], axis=2)
+    sz = jnp.concatenate([sz, inf_col], axis=2)
+    ks = jnp.arange(1, n_buckets, dtype=jnp.uint32)
+    boundaries = jax.vmap(
+        lambda row: jnp.searchsorted(row, ks, side="left")
+    )(sd)  # (Wc, 2^c - 1)
+    warr = jnp.arange(Wc)[:, None]
+    bx = sx[:, warr, boundaries]
+    by = sy[:, warr, boundaries]
+    bz = sz[:, warr, boundaries]
+    inf1 = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
+    return (
+        jnp.concatenate([bx, inf1], axis=2),
+        jnp.concatenate([by, inf1], axis=2),
+        jnp.concatenate([bz, inf1], axis=2),
     )
-    # suffix sums S_k = sum_{j>=k} bucket_j; window total = sum_k S_k
-    # = sum_j j * bucket_j.
-    suffix = scan_util.inclusive_scan(
-        _add_tuple, padded, axis=-1, reverse=True
-    )
-    total = _tree_reduce_last(JPoint(*suffix))
-    return total.x[..., 0], total.y[..., 0], total.z[..., 0]  # (L, Wc)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -201,8 +168,7 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
     if c is None:
         c = default_window(n)
     # Pad to a power of two with (infinity, 0) pairs — a mathematical
-    # no-op that keeps every scan level at a power-of-two shape (one
-    # combiner compile per size, ever; see ops/scan.py).
+    # no-op that keeps every scan level at a power-of-two shape.
     npad = scan_util.next_pow2(n)
     if npad != n:
         pad = npad - n
@@ -226,10 +192,15 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
                 (WINDOW_CHUNK - chunk.shape[0], chunk.shape[1]), jnp.uint32
             )
             chunk = jnp.concatenate([chunk, fill], axis=0)
-        x, y, z = _window_chunk(points.x, points.y, points.inf, chunk, c)
-        tx.append(x)
-        ty.append(y)
-        tz.append(z)
+        gx, gy, gz, sd = _sort_gather(
+            points.x, points.y, points.inf, chunk
+        )
+        suffix = ec_scan.inclusive_scan_ec((gx, gy, gz), reverse=True)
+        bx, by, bz = _gather_boundaries(*suffix, sd, c)
+        x, y, z = ec_scan.tree_reduce((bx, by, bz))
+        tx.append(x[..., 0])
+        ty.append(y[..., 0])
+        tz.append(z[..., 0])
     totals = (
         jnp.concatenate(tx, axis=1)[:, :W],
         jnp.concatenate(ty, axis=1)[:, :W],

@@ -133,3 +133,41 @@ def linear_combination(spec: FieldSpec, polys, coeffs: list[int]):
         term = fp.mont_mul(spec, pad_to(spec, p, n), scalar(spec, c))
         acc = term if acc is None else fp.add(spec, acc, term)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Closed-form structured-polynomial evaluations (misc.rs:373-399), used
+# by the psnark verifier's oracle computations.  Host arithmetic mod R.
+# ---------------------------------------------------------------------------
+
+
+def evaluate_tensor_poly(challenges: list[int], x: int,
+                         modulus: int | None = None) -> int:
+    """prod_j (1 + rho_j * x^(2^j)) (misc.rs:373-383)."""
+    m = modulus or FR.modulus
+    res, s = 1, x % m
+    for rho in challenges:
+        res = res * (1 + rho * s) % m
+        s = s * s % m
+    return res
+
+
+def evaluate_geometric_poly(rx: int, n: int,
+                            modulus: int | None = None) -> int:
+    """1 + rx + rx^2 + ... + rx^(n-1) (misc.rs:387-390)."""
+    m = modulus or FR.modulus
+    rx %= m
+    if rx == 1:
+        return n % m
+    return (pow(rx, n, m) - 1) * pow(rx - 1, -1, m) % m
+
+
+def evaluate_index_poly(x: int, n: int, modulus: int | None = None) -> int:
+    """x + 2x^2 + ... + (n-1)x^(n-1) (misc.rs:394-399)."""
+    m = modulus or FR.modulus
+    x %= m
+    assert x != 1
+    x1 = (1 - x) % m
+    x_n = pow(x, n - 1, m)
+    return (x * (1 - x_n) % m * pow(x1 * x1 % m, -1, m)
+            - (n - 1) * x_n % m * x % m * pow(x1, -1, m)) % m

@@ -128,13 +128,24 @@ class TapeProgram:
 def _tape_exec(spec, regs, tape):
     """regs: (n_regs, L, *batch) uint32; tape: (n_instr, 4) int32."""
 
+    # On TPU the multiply branch is fully unrolled: one fusible graph,
+    # no nested scan — the scan-of-scan form serialized into ~1000
+    # sequential micro-steps per instruction and dominated MSM
+    # wall-clock.  On CPU (tests) the scan form compiles ~40x faster
+    # and runs fine.
+    try:
+        unroll = jax.default_backend() == "tpu"
+    except Exception:
+        unroll = False
+    mul = fp.mont_mul_unrolled if unroll else fp.mont_mul
+
     def step(regs, ins):
         ra = regs[ins[1]]
         rb = regs[ins[2]]
         out = jax.lax.switch(
             ins[0],
             [
-                lambda x, y: fp.mont_mul(spec, x, y),
+                lambda x, y: mul(spec, x, y),
                 lambda x, y: fp.add(spec, x, y),
                 lambda x, y: fp.sub(spec, x, y),
             ],
@@ -147,14 +158,60 @@ def _tape_exec(spec, regs, tape):
     return regs
 
 
-def run(spec, prog: TapeProgram, inputs: Sequence[jnp.ndarray]):
-    """Execute a finalized program; inputs are (L, *batch) Montgomery
-    limb arrays (all the same batch shape).  Returns the output list."""
-    assert len(inputs) == prog.n_inputs
+# Max lanes per tape execution: bounds the CIOS scan carry
+# ((L+1) * lanes * 4 B) and per-instruction register slices so they
+# stay VMEM-resident on TPU — beyond this the scan carry spills to HBM
+# and every multiply pays 24 HBM round trips of the accumulator.
+TAPE_TILE = 1 << 14
+
+
+def _run_flat(spec, prog: TapeProgram, flat_inputs):
     L = spec.n_limbs
-    batch = inputs[0].shape[1:]
-    regs = jnp.zeros((prog.n_regs, L, *batch), dtype=jnp.uint32)
-    for i, x in enumerate(inputs):
+    n = flat_inputs[0].shape[1]
+    regs = jnp.zeros((prog.n_regs, L, n), dtype=jnp.uint32)
+    for i, x in enumerate(flat_inputs):
         regs = regs.at[i].set(x)
     regs = _tape_exec(spec, regs, jnp.asarray(prog.tape))
     return [regs[r] for r in prog.out_regs]
+
+
+def run(spec, prog: TapeProgram, inputs: Sequence[jnp.ndarray]):
+    """Execute a finalized program; inputs are (L, *batch) Montgomery
+    limb arrays (all the same batch shape).  Returns the output list.
+
+    Batches larger than TAPE_TILE lanes run as a `lax.map` over lane
+    tiles (one compiled body, VMEM-friendly working set)."""
+    assert len(inputs) == prog.n_inputs
+    L = spec.n_limbs
+    batch = inputs[0].shape[1:]
+    n = 1
+    for d in batch:
+        n *= d
+    if n <= TAPE_TILE:
+        flat = [x.reshape(L, n) for x in inputs]
+        outs = _run_flat(spec, prog, flat)
+        return [o.reshape(L, *batch) for o in outs]
+
+    t = -(-n // TAPE_TILE)
+    npad = t * TAPE_TILE
+    tiles = []
+    for x in inputs:
+        f = x.reshape(L, n)
+        if npad != n:
+            f = jnp.concatenate(
+                [f, jnp.zeros((L, npad - n), jnp.uint32)], axis=1
+            )
+        # (T, L, TILE) — map axis leading
+        tiles.append(
+            f.reshape(L, t, TAPE_TILE).transpose(1, 0, 2)
+        )
+
+    def body(xs):
+        return tuple(_run_flat(spec, prog, list(xs)))
+
+    outs = jax.lax.map(body, tuple(tiles))
+    result = []
+    for o in outs:
+        f = o.transpose(1, 0, 2).reshape(L, npad)[:, :n]
+        result.append(f.reshape(L, *batch))
+    return result

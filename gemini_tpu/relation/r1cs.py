@@ -166,3 +166,60 @@ def random_r1cs(rng: _random.Random, num_constraints: int,
     out = R1cs(a=a, b=b, c=c, z_int=z, x_int=z[:num_inputs])
     assert out.is_satisfied()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Joint sparsity pattern for the preprocessing SNARK (misc.rs:269-366).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class JointMatrices:
+    """Union sparsity of A, B, C in column-major order: field vectors
+    row/col (device Montgomery), index vectors (host numpy), and the
+    per-matrix value vectors zero-filled on the union pattern."""
+
+    row: jnp.ndarray
+    col: jnp.ndarray
+    row_index: np.ndarray
+    col_index: np.ndarray
+    val_a: jnp.ndarray
+    val_b: jnp.ndarray
+    val_c: jnp.ndarray
+
+    @property
+    def num_non_zero(self) -> int:
+        return len(self.row_index)
+
+
+def joint_matrices(r1cs: "R1cs") -> JointMatrices:
+    """sum_matrices + joint_matrices (misc.rs:269-366): per column (in
+    increasing order), the sorted set of rows where any of A, B, C is
+    nonzero; values looked up per matrix with zero fill."""
+    num_vars = r1cs.a.n_cols
+    per_col: List[set] = [set() for _ in range(num_vars)]
+    lookups = []
+    for m in (r1cs.a, r1cs.b, r1cs.c):
+        d = {}
+        for rr, cc, vv in zip(m.rows, m.cols, m.vals_int):
+            d[(int(rr), int(cc))] = vv
+            per_col[int(cc)].add(int(rr))
+        lookups.append(d)
+    row_index, col_index = [], []
+    val_a, val_b, val_c = [], [], []
+    for cc in range(num_vars):
+        for rr in sorted(per_col[cc]):
+            row_index.append(rr)
+            col_index.append(cc)
+            val_a.append(lookups[0].get((rr, cc), 0))
+            val_b.append(lookups[1].get((rr, cc), 0))
+            val_c.append(lookups[2].get((rr, cc), 0))
+    return JointMatrices(
+        row=jnp.asarray(FR.encode(row_index or [0])[:, :len(row_index)]),
+        col=jnp.asarray(FR.encode(col_index or [0])[:, :len(col_index)]),
+        row_index=np.asarray(row_index, dtype=np.int64),
+        col_index=np.asarray(col_index, dtype=np.int64),
+        val_a=jnp.asarray(FR.encode(val_a or [0])[:, :len(val_a)]),
+        val_b=jnp.asarray(FR.encode(val_b or [0])[:, :len(val_b)]),
+        val_c=jnp.asarray(FR.encode(val_c or [0])[:, :len(val_c)]),
+    )
