@@ -109,6 +109,90 @@ class Proof:
             tensorcheck_proof=tensorcheck_proof,
         )
 
+    @staticmethod
+    def new_elastic(r1cs: R1cs, ck_stream, block_size: int = 1 << 20,
+                    threshold: int | None = None) -> "Proof":
+        """Space-efficient prover (snark/elastic_prover.rs:174 analogue):
+        produces a proof bit-identical to `new_time` (tested) while
+        keeping device memory bounded — the witness commitment streams
+        host-RAM blocks through chunked MSMs, zc(α) is a streaming
+        evaluation, and both sumchecks run the elastic prover
+        (host-resident coefficients, per-round block contraction, dense
+        switch under SPACE_TIME_THRESHOLD).
+
+        The tensorcheck tail currently materializes its two body
+        polynomials on device (the reference's fold-tree commit,
+        kzg/space.rs:192-223, is the remaining streaming piece).
+        """
+        from .. import SPACE_TIME_THRESHOLD
+        from ..streaming import ElasticProver, HostVector
+
+        if threshold is None:
+            threshold = SPACE_TIME_THRESHOLD
+        ck = ck_stream.ck
+
+        z_a = HostVector.from_device(r1cs.a.matvec(r1cs.z))
+        z_b = HostVector.from_device(r1cs.b.matvec(r1cs.z))
+        z_c = HostVector.from_device(r1cs.c.matvec(r1cs.z))
+        w_host = HostVector.from_device(r1cs.w)
+
+        transcript = GeminiTranscript(PROTOCOL_NAME)
+        witness_commitment = ck_stream.commit(w_host)
+        transcript.append_serializable(b"witness", G1Msg(witness_commitment))
+        alpha = transcript.get_challenge(b"alpha")
+
+        zc_alpha = ck_stream.evaluate(z_c, alpha)
+        transcript.append_serializable(b"zc(alpha)", ScalarMsg(zc_alpha))
+
+        first_proof = Sumcheck.prove(
+            transcript,
+            ElasticProver(z_a, z_b, alpha, block_size, threshold),
+        )
+
+        b_challenges = poly.tensor_device(FR, first_proof.challenges)
+        c_challenges = poly.powers(FR, alpha, b_challenges.shape[1])
+        a_challenges = fp.mont_mul(FR, b_challenges, c_challenges)
+
+        eta = transcript.get_challenge(b"eta")
+        eta2 = eta * eta % R
+        part_a = r1cs.a.rmatvec(a_challenges)
+        part_b = r1cs.b.rmatvec(b_challenges)
+        part_c = r1cs.c.rmatvec(c_challenges)
+        abc_tensored = fp.add(
+            FR,
+            part_a,
+            fp.add(
+                FR,
+                fp.mont_mul(FR, part_b, poly.scalar(FR, eta)),
+                fp.mont_mul(FR, part_c, poly.scalar(FR, eta2)),
+            ),
+        )
+
+        second_proof = Sumcheck.prove(
+            transcript,
+            ElasticProver(
+                HostVector.from_device(abc_tensored),
+                HostVector.from_device(r1cs.z),
+                1, block_size, threshold,
+            ),
+        )
+
+        tensorcheck_proof = TensorcheckProof.new_time(
+            transcript,
+            ck,
+            [r1cs.w],
+            [((abc_tensored, r1cs.z), second_proof.challenges)],
+        )
+        return Proof(
+            witness_commitment=witness_commitment,
+            zc_alpha=zc_alpha,
+            first_sumcheck_msgs=(
+                first_proof.messages, first_proof.final_foldings),
+            second_sumcheck_msgs=(
+                second_proof.messages, second_proof.final_foldings),
+            tensorcheck_proof=tensorcheck_proof,
+        )
+
     def verify(self, r1cs: R1cs, vk: VerifierKey) -> None:
         """Linear-time verifier (snark/verifier.rs:19-120); raises
         SnarkVerificationError on failure."""
