@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Preprocessing SNARK benchmark driver (examples/psnark.rs analogue).
+
+    python examples/psnark.py -i 10
+"""
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-i", "--instance-logsize", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if not 1 <= args.instance_logsize <= 30:
+        ap.error("--instance-logsize must be in [1, 30]")
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/gemini_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from gemini_tpu.kzg.commit import CommitterKey, VerifierKey
+    from gemini_tpu.relation import dummy_r1cs
+    from gemini_tpu.relation.r1cs import joint_matrices
+    from gemini_tpu.psnark import Proof, index
+    from gemini_tpu.serialize import psnark_proof_bytes
+    from gemini_tpu.utils import MemoryWatcher
+
+    n = 1 << args.instance_logsize
+    rng = random.Random(0)
+    r1cs = dummy_r1cs(rng, n)
+    jm = joint_matrices(r1cs)
+    ck = CommitterKey.new(
+        max_degree=2 * n + jm.num_non_zero + 2, max_eval_points=3, seed=0)
+    vk = VerifierKey.from_committer_key(ck)
+
+    t0 = time.time()
+    idx = index(ck, r1cs)
+    index_t = time.time() - t0
+    with MemoryWatcher() as mem:
+        t0 = time.time()
+        proof = Proof.new_time(ck, r1cs, idx)
+        prove_t = time.time() - t0
+    t0 = time.time()
+    proof.verify(r1cs, vk, idx, jm.num_non_zero)
+    verify_t = time.time() - t0
+    size = len(psnark_proof_bytes(proof))
+    print(f"indexer time:  {index_t:.2f} s")
+    print(f"prover time:   {prove_t:.2f} s")
+    print(f"verifier time: {verify_t:.2f} s")
+    print(f"proof size:    {size} B (compressed)")
+    print(f"peak rss:      {mem.peak / 2**20:.1f} MiB")
+
+
+if __name__ == "__main__":
+    main()

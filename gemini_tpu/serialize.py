@@ -134,3 +134,82 @@ def serialize_uncompressed(obj) -> bytes:
         body = b"".join(serialize_uncompressed(o) for o in obj)
         return usize_to_bytes(len(obj)) + body
     raise TypeError(f"cannot ark-serialize {type(obj)!r}")
+
+
+# ---------------------------------------------------------------------------
+# Proof serialization (ark CanonicalSerialize layout: compressed points
+# are 48 bytes, scalars 32, Vec<T> gets a u64 length prefix).  Used for
+# the `compressed_size()` reporting of examples/snark.rs:96.
+# ---------------------------------------------------------------------------
+
+
+def _sumcheck_msgs_bytes(msgs) -> bytes:
+    rounds, finals = msgs
+    out = usize_to_bytes(len(rounds))
+    for (a, b) in rounds:
+        out += fr_to_bytes(a) + fr_to_bytes(b)
+    out += usize_to_bytes(len(finals))
+    for (a, b) in finals:
+        out += fr_to_bytes(a) + fr_to_bytes(b)
+    return out
+
+
+def _tensorcheck_bytes(tc) -> bytes:
+    out = usize_to_bytes(len(tc.folded_polynomials_commitments))
+    for c in tc.folded_polynomials_commitments:
+        out += g1_compressed(c)
+    out += usize_to_bytes(len(tc.folded_polynomials_evaluations))
+    for (a, b) in tc.folded_polynomials_evaluations:
+        out += fr_to_bytes(a) + fr_to_bytes(b)
+    out += g1_compressed(tc.evaluation_proof)
+    out += usize_to_bytes(len(tc.base_polynomials_evaluations))
+    for evs in tc.base_polynomials_evaluations:
+        for e in evs:
+            out += fr_to_bytes(e)
+    return out
+
+
+def snark_proof_bytes(proof) -> bytes:
+    """snark::Proof CanonicalSerialize (snark/mod.rs:76-82)."""
+    return (
+        g1_compressed(proof.witness_commitment)
+        + fr_to_bytes(proof.zc_alpha)
+        + _sumcheck_msgs_bytes(proof.first_sumcheck_msgs)
+        + _sumcheck_msgs_bytes(proof.second_sumcheck_msgs)
+        + _tensorcheck_bytes(proof.tensorcheck_proof)
+    )
+
+
+def psnark_proof_bytes(proof) -> bytes:
+    """psnark::Proof CanonicalSerialize (psnark/mod.rs:29-51)."""
+    out = g1_compressed(proof.witness_commitment)
+    out += fr_to_bytes(proof.zc_alpha)
+    out += _sumcheck_msgs_bytes(proof.first_sumcheck_msgs)
+    for c in proof.r_star_commitments:
+        out += g1_compressed(c)
+    out += g1_compressed(proof.z_star_commitment)
+    out += _sumcheck_msgs_bytes(proof.second_sumcheck_msgs)
+    for s in (proof.set_r_ep, proof.subset_r_ep):
+        out += fr_to_bytes(s)
+    out += g1_compressed(proof.sorted_r_commitment)
+    for s in (proof.set_alpha_ep, proof.subset_alpha_ep):
+        out += fr_to_bytes(s)
+    out += g1_compressed(proof.sorted_alpha_commitment)
+    for s in (proof.set_z_ep, proof.subset_z_ep):
+        out += fr_to_bytes(s)
+    out += g1_compressed(proof.sorted_z_commitment)
+    out += usize_to_bytes(len(proof.ep_msgs.acc_v_commitments))
+    for c in proof.ep_msgs.acc_v_commitments:
+        out += g1_compressed(c)
+    out += usize_to_bytes(len(proof.ep_msgs.claimed_sumchecks))
+    for s in proof.ep_msgs.claimed_sumchecks:
+        out += fr_to_bytes(s)
+    out += usize_to_bytes(len(proof.ralpha_star_acc_mu_evals))
+    for s in proof.ralpha_star_acc_mu_evals:
+        out += fr_to_bytes(s)
+    out += g1_compressed(proof.ralpha_star_acc_mu_proof)
+    for s in proof.rstars_vals:
+        out += fr_to_bytes(s)
+    out += _sumcheck_msgs_bytes(proof.third_sumcheck_msgs)
+    out += _tensorcheck_bytes(proof.tensorcheck_proof)
+    return out

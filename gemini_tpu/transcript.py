@@ -190,14 +190,37 @@ _FR_SHAVE_MASK = (1 << 255) - 1
 PROTOCOL_NAME = b"GEMINI-v0"  # lib.rs:74
 
 
-class GeminiTranscript(Transcript):
+class GeminiTranscript:
     """Adds the reference's scalar/point shorthands.
 
     Mirrors /root/reference/src/transcript.rs:15-35: messages are
     appended as ark-serialize *uncompressed* bytes; challenges are Fr
     elements rejection-sampled from 64-byte PRF outputs (only the first
     32 bytes feed the candidate, masked to 255 bits).
+
+    Backed by the native C++ STROBE engine (native/transcript.cpp)
+    when a toolchain is available — byte-identical to the Python
+    engine above (tests/test_native.py) and ~100x faster on the
+    per-round Fiat-Shamir hot path.
     """
+
+    def __init__(self, label: bytes, force_python: bool = False):
+        engine = None
+        if not force_python:
+            try:
+                from . import native
+
+                if native.load() is not None:
+                    engine = native.NativeTranscript(label)
+            except Exception:
+                engine = None
+        self._engine = engine if engine is not None else Transcript(label)
+
+    def append_message(self, label: bytes, message: bytes) -> None:
+        self._engine.append_message(label, message)
+
+    def challenge_bytes(self, label: bytes, n: int) -> bytes:
+        return self._engine.challenge_bytes(label, n)
 
     def append_serializable(self, label: bytes, obj) -> None:
         from .serialize import serialize_uncompressed
