@@ -38,8 +38,8 @@ BASELINE_POINTS_PER_S = 5.0e6
 
 
 def main():
-    logn = int(os.environ.get("BENCH_LOGN", "16"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    logn = int(os.environ.get("BENCH_LOGN", "20"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     n = 1 << logn
 
     from gemini_tpu.params import R

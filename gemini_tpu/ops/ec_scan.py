@@ -36,10 +36,18 @@ L = FQ.n_limbs
 
 @jax.jit
 def _mapped_add_impl(ax, ay, az, bx, by, bz):
-    """(T, L, TILE) each -> elementwise complete Jacobian add."""
+    """(T, L, TILE) each -> elementwise complete Jacobian add.
 
+    Body = the tape VM (one compiled Montgomery-multiply step).  A
+    fully-unrolled flat body was tried: ~110K HLO ops, >9 min of TPU
+    compile per tile shape.  Larger TILEs were tried: HBM register-file
+    traffic scales with tile size, so 2^14 lanes (measured ~720 ns/add)
+    beats 2^16 (~1.9 us/add).  The remaining ~13x to the compute bound
+    needs the Pallas fused path (PERF.md roadmap)."""
     def body(xs):
-        o = g1.add(JPoint(xs[0], xs[1], xs[2]), JPoint(xs[3], xs[4], xs[5]))
+        p = JPoint(xs[0], xs[1], xs[2])
+        q = JPoint(xs[3], xs[4], xs[5])
+        o = g1.add(p, q)
         return (o.x, o.y, o.z)
 
     return jax.lax.map(body, (ax, ay, az, bx, by, bz))

@@ -293,6 +293,23 @@ class Proof:
             tensorcheck_proof=tensorcheck_proof,
         )
 
+    @staticmethod
+    def new_elastic(ck_stream, r1cs: R1cs,
+                    idx: Sequence[G1Host]) -> "Proof":
+        """API-compatible elastic entry point
+        (psnark/elastic_prover.rs:60 analogue).
+
+        NOT YET SPACE-EFFICIENT: currently delegates to the dense
+        prover (identical proofs by definition).  The streaming
+        primitives it needs — HostVector sources, block-contraction
+        folds, chunked-MSM commits — exist and are transcript-equal to
+        their dense twins (gemini_tpu/streaming/, tested), but the
+        psnark pipeline's lookup/plookup/entry-product stages have not
+        been rebuilt on them yet; that is the main remaining
+        space-efficiency work (the reference's psnark/streams/ zoo).
+        """
+        return Proof.new_time(ck_stream.ck, r1cs, idx)
+
     # -- verifier ---------------------------------------------------------
 
     def verify(self, r1cs: R1cs, vk: VerifierKey,
