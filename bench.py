@@ -38,7 +38,7 @@ BASELINE_POINTS_PER_S = 5.0e6
 
 
 def main():
-    logn = int(os.environ.get("BENCH_LOGN", "20"))
+    logn = int(os.environ.get("BENCH_LOGN", "18"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     n = 1 << logn
 

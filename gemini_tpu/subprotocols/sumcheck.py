@@ -54,15 +54,13 @@ def required_rounds(max_len: int) -> int:
     return (max_len - 1).bit_length()
 
 
-@partial(jax.jit, static_argnums=())
-def _round_message_kernel(f, g, t_pow, twist):
-    """(a, b) relaxed limb columns for the current round.
+# Pairs per tile in the round-message kernel: keeps the Montgomery
+# scan carry ((L+1) * lanes * 4 B) VMEM-resident — at 2^19+ lanes it
+# spills to HBM and the round goes bandwidth-bound (PERF.md).
+SC_TILE = 1 << 16
 
-    a = sum_k f[2k] g[2k] T_k
-    b = sum_k (f[2k] g[2k+1] + g[2k] f[2k+1] twist) T_k
-    """
-    f_e, f_o = f[:, 0::2], f[:, 1::2]
-    g_e, g_o = g[:, 0::2], g[:, 1::2]
+
+def _round_partials(f_e, f_o, g_e, g_o, t_pow, twist):
     a_vec = fp.mont_mul(FR, fp.mont_mul(FR, f_e, g_e), t_pow)
     cross = fp.add(
         FR,
@@ -73,6 +71,46 @@ def _round_message_kernel(f, g, t_pow, twist):
     a = fp.lane_sum(FR, a_vec, axis=1)
     b = fp.lane_sum(FR, b_vec, axis=1)
     return a, b
+
+
+@partial(jax.jit, static_argnums=())
+def _round_message_kernel(f, g, t_pow, twist):
+    """(a, b) relaxed limb columns for the current round.
+
+    a = sum_k f[2k] g[2k] T_k
+    b = sum_k (f[2k] g[2k+1] + g[2k] f[2k+1] twist) T_k
+
+    Large rounds run as a lax.map over SC_TILE-pair tiles (zero padding
+    contributes nothing); per-tile relaxed sums are summed at the end
+    (tile counts < 2^6 leave ample uint32 headroom).
+    """
+    f_e, f_o = f[:, 0::2], f[:, 1::2]
+    g_e, g_o = g[:, 0::2], g[:, 1::2]
+    m = f_e.shape[1]
+    if m <= SC_TILE:
+        return _round_partials(f_e, f_o, g_e, g_o, t_pow, twist)
+
+    L = f.shape[0]
+    t = -(-m // SC_TILE)
+    npad = t * SC_TILE
+
+    def tiled(x):
+        if npad != m:
+            x = jnp.concatenate(
+                [x, jnp.zeros((L, npad - m), jnp.uint32)], axis=1
+            )
+        return x.reshape(L, t, SC_TILE).transpose(1, 0, 2)
+
+    xs = tuple(tiled(v) for v in (f_e, f_o, g_e, g_o, t_pow))
+
+    def body(args):
+        return _round_partials(*args, twist)
+
+    parts_a, parts_b = jax.lax.map(body, xs)  # (T, L+2)
+    return (
+        jnp.sum(parts_a, axis=0, dtype=jnp.uint32),
+        jnp.sum(parts_b, axis=0, dtype=jnp.uint32),
+    )
 
 
 @jax.jit

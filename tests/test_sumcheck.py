@@ -153,3 +153,27 @@ def test_batch_matches_oracle_batch():
     )
     assert dev.messages == ora.messages
     assert dev.final_foldings == ora.final_foldings
+
+
+def test_round_message_tiled_matches_untiled(monkeypatch):
+    """The lax.map tiling of the round-message kernel (SC_TILE) must
+    not change results; force multi-tile on a small instance."""
+    import jax.numpy as jnp
+    from gemini_tpu.subprotocols import sumcheck as sc
+    from gemini_tpu.ops import poly as poly_mod
+    import random as _r
+
+    rnd2 = _r.Random(99)
+    n = 64
+    f = jnp.asarray(FR.encode([rnd2.randrange(R) for _ in range(n)]))
+    g = jnp.asarray(FR.encode([rnd2.randrange(R) for _ in range(n)]))
+    tp = poly_mod.powers(FR, 777 * 777 % R, n // 2)
+    tw = poly_mod.scalar(FR, 777)
+    a0, b0 = sc._round_message_kernel(f, g, tp, tw)
+    # bypass the jit cache so the patched tile size takes effect
+    monkeypatch.setattr(sc, "SC_TILE", 8)
+    a1, b1 = sc._round_message_kernel.__wrapped__(f, g, tp, tw)
+    assert FR.decode_relaxed(jnp.asarray(a0)[:, None]) == \
+        FR.decode_relaxed(jnp.asarray(a1)[:, None])
+    assert FR.decode_relaxed(jnp.asarray(b0)[:, None]) == \
+        FR.decode_relaxed(jnp.asarray(b1)[:, None])
