@@ -74,29 +74,36 @@ class FieldSpec:
     # -- host-side encode/decode ------------------------------------------
 
     def encode(self, values: Sequence[int] | int, mont: bool = True) -> np.ndarray:
-        """ints -> (L, N) uint32 limb array (Montgomery form by default)."""
+        """ints -> (L, N) uint32 limb array (Montgomery form by default).
+
+        Limb extraction is vectorized through a byte buffer — the
+        per-limb Python loop was the prover's input bottleneck at
+        2^18+ elements."""
         if isinstance(values, (int, np.integer)):
             values = [int(values)]
-        vals = [
-            (v % self.modulus) * (self.mont_r if mont else 1) % self.modulus
-            for v in values
-        ]
-        out = np.zeros((self.n_limbs, len(vals)), dtype=np.uint32)
-        for j, v in enumerate(vals):
-            out[:, j] = _int_to_limbs(v, self.n_limbs)
-        return out
+        m = self.modulus
+        r = self.mont_r if mont else 1
+        nbytes = self.n_limbs * LIMB_BITS // 8
+        buf = b"".join(
+            ((v % m) * r % m).to_bytes(nbytes, "little") for v in values
+        )
+        arr = np.frombuffer(buf, dtype="<u2").reshape(
+            len(values), self.n_limbs
+        )
+        return np.ascontiguousarray(arr.T).astype(np.uint32)
 
     def decode(self, arr, mont: bool = True) -> list[int]:
         """(L, *batch) limb array -> flat list of canonical ints."""
-        a = np.asarray(arr, dtype=np.uint64).reshape(self.n_limbs, -1)
-        vals = []
+        a = np.asarray(arr, dtype=np.uint16).reshape(self.n_limbs, -1)
+        buf = np.ascontiguousarray(a.T.astype("<u2")).tobytes()
+        nbytes = self.n_limbs * LIMB_BITS // 8
         rinv = pow(self.mont_r, -1, self.modulus) if mont else 1
-        for j in range(a.shape[1]):
-            v = 0
-            for i in reversed(range(self.n_limbs)):
-                v = (v << LIMB_BITS) | int(a[i, j])
-            vals.append(v * rinv % self.modulus)
-        return vals
+        m = self.modulus
+        return [
+            int.from_bytes(buf[j * nbytes:(j + 1) * nbytes], "little")
+            * rinv % m
+            for j in range(a.shape[1])
+        ]
 
     def decode_relaxed(self, arr, mont: bool = True) -> list[int]:
         """Decode limbs that may exceed 16 bits / the modulus
