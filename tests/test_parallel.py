@@ -34,3 +34,24 @@ def test_sharded_sumcheck_matches_dense(n):
     assert dense.messages == sharded.messages
     assert dense.challenges == sharded.challenges
     assert dense.final_foldings == sharded.final_foldings
+
+
+def test_msm_multichip_matches_single():
+    """Data-parallel MSM over 8 virtual devices == single-device MSM
+    == host oracle."""
+    import jax.numpy as jnp
+    from gemini_tpu.fields.fp import FR
+    from gemini_tpu.curve import g1 as g1_mod
+    from gemini_tpu.ops.msm import msm
+    from gemini_tpu.parallel.msm import msm_multichip
+    from gemini_tpu.refimpl import g1_generator, g1_mul, g1_msm
+
+    G = g1_generator()
+    n = 50
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)]
+    ks = [rnd.randrange(R) for _ in range(n)]
+    ap = g1_mod.encode_affine(pts)
+    sc = jnp.asarray(FR.encode(ks, mont=False))
+    multi = g1_mod.decode_jacobian(msm_multichip(ap, sc))[0]
+    single = g1_mod.decode_jacobian(msm(ap, sc))[0]
+    assert multi == single == g1_msm(pts, ks)
