@@ -1,28 +1,42 @@
 """Pallas TPU kernels for the G1 group law — the speed-of-light path.
 
-Why this exists: the XLA-level field ops in fields/fp.py express the
-Montgomery CIOS multiply as a `lax.scan`, whose (L+1, batch) carry is
-materialized in HBM once the batch exceeds VMEM — 24 HBM round trips
-of the whole accumulator per multiply, which made large MSMs bandwidth-
-bound (~40 s at 2^20).  Here each group-law formula is ONE Pallas
-kernel: the grid tiles the lane axis, every intermediate lives in
-VMEM, and HBM traffic is exactly the kernel inputs and outputs.
+Why this exists: the XLA-level paths (ops/tape.py VM, flat unrolled
+graphs) bottom out ~1 µs/lane-add because intermediates live in HBM
+(tape register file) or XLA declines to fuse ~100K-op graphs.  Here
+each group-law formula is ONE Pallas kernel: the grid tiles the lane
+axis, every intermediate lives in VMEM, and HBM traffic is exactly the
+kernel inputs and outputs.
 
-Kernel bodies are kept COMPACT (important: Mosaic compile time scales
-with op count — a fully unrolled formula was ~8k ops and 200 s of
-compile): the CIOS multiply, carry propagation, and borrow chains all
-run as `fori_loop`s whose dynamic row indexing goes through small VMEM
-scratch refs (values can't be dynamically sliced in Mosaic, refs can).
+Montgomery multiply design (the measured hot spot — see
+benches/vpubench.py for the VPU ceiling):
 
-Kernels are complete (identity/equal/negative inputs handled by
-in-kernel selects) so they can serve as associative-scan combiners.
+  * absolute-indexed CIOS, fully unrolled over the 24 limbs — no
+    `fori_loop`, no `pltpu.roll` in the hot loop, no dynamic indexing;
+  * the partial products land in THREE (32, T) accumulator pairs
+    (lo/hi), one per group of 8 outer iterations, so every bulk
+    update is a full-array op — no sublane shifts, no misaligned
+    (L+1)-row concats (the v1 kernel's pathology);
+  * the serial Montgomery m-chain runs on single (1, T) rows
+    (position i is read out of the group accumulators with static
+    indices), which costs ~1/32 of the bulk work;
+  * one Kogge-Stone carry-lookahead pass (log-depth, vectorized)
+    normalizes the result at the end of each field op.
 
-Used automatically by curve/g1.py when the default backend is TPU;
-the XLA tape path (ops/tape.py) remains the CPU/test path, and the two
-are asserted bit-identical on the TPU gate test (run on real hardware).
+Formulas are EFD add-2007-bl / dbl-2009-l with completeness selects,
+exactly as curve/g1.py (bit-identical, asserted by tests/test_curve.py
+TPU gates).  Reference spec: ark-ff Montgomery backend semantics
+(SURVEY.md L0); /root/reference/src has no kernel counterpart — this
+file is TPU-native design.
+
+Kernels may not capture array constants: field constants travel as one
+(32, 128) uint32 input (rows 0..23 = modulus limbs, row 24 lane 0 =
+n0inv).
 """
 
 from __future__ import annotations
+
+import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,143 +47,287 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields.fp import FQ
 
 L = FQ.n_limbs  # 24
-TILE = 512
 MASK = 0xFFFF  # Python int: in-kernel use without becoming a captured const
 
-# Field constants travel as one (L+1, 128) uint32 kernel input (Pallas
-# kernels may not capture array constants): rows 0..L-1 = modulus
-# limbs, row L lane 0 = n0inv.
-_CONSTS = np.zeros((L + 1, 128), dtype=np.uint32)
+
+def _tile() -> int:
+    return int(os.environ.get("GEMINI_TPU_PTILE", "256"))
+
+
+def _int_limbs(x: int, n: int) -> np.ndarray:
+    return np.array([(x >> (16 * i)) & 0xFFFF for i in range(n)], np.uint32)
+
+
+# N' = -p^{-1} mod 2^384 — the separated-Montgomery reduction constant.
+_NPRIME = pow(-FQ.modulus, -1, 1 << (16 * L))
+
+_CONSTS = np.zeros((64, 128), dtype=np.uint32)
 _CONSTS[:L, :] = FQ.mod_limbs.reshape(L, 1)
 _CONSTS[L, :] = FQ.n0inv
+_CONSTS[32: 32 + L, :] = _int_limbs(_NPRIME, L).reshape(L, 1)
 
 
-def _shift_down(t, k=1):
-    """Drop k leading rows, append k zero rows (value >> 16k limbs)."""
-    zero = jnp.zeros((k, t.shape[1]), jnp.uint32)
-    return jnp.concatenate([t[k:], zero], axis=0)
-
-
-def _shift_up(t, k=1):
-    zero = jnp.zeros((k, t.shape[1]), jnp.uint32)
-    return jnp.concatenate([zero, t[:-k]], axis=0)
+def _shift_up(t, d):
+    """Value shift: row j -> row j+d (low rows zero-filled)."""
+    zero = jnp.zeros((d, t.shape[1]), jnp.uint32)
+    return jnp.concatenate([zero, t[:-d]], axis=0)
 
 
 def _ckla(s):
     """Exact carry resolution for rows s with s < 2^17 (at most one
     outgoing carry per row): Kogge-Stone over (generate, propagate)
-    pairs, log2(rows) rounds, fully vectorized — no sequential chains.
-
-    Returns rows < 2^16 of the same count; the final carry-out is
-    folded into an appended row by callers that need it.
-    """
+    pairs.  Returns (16-bit rows, carry-out row (1, T))."""
     k = s.shape[0]
     low = s & MASK
     g = s >> 16  # 0/1 generate
     p = (low == MASK).astype(jnp.uint32)  # propagate
-    # carry into row i+1 = g_i | (p_i & c_i); prefix with Kogge-Stone
-    # over the (g, p) semigroup: (g2, p2) . (g1, p1) = (g2|p2&g1, p2&p1)
     G, P = g, p
     d = 1
     while d < k:
-        Gs = _shift_up(G, d)
-        Ps = _shift_up(P, d)
-        G = G | (P & Gs)
-        P = P & Ps
+        G = G | (P & _shift_up(G, d))
+        P = P & _shift_up(P, d)
         d *= 2
     c = _shift_up(G, 1)  # carry INTO each row
-    return (low + c) & MASK, G[k - 1: k] | 0  # (rows, carry-out row)
+    return (low + c) & MASK, G[k - 1: k]
 
 
 class _F:
-    """In-kernel field helpers on (L, TILE) uint32 values; everything
-    vectorized (rotates + log-depth carry lookahead), no scratch, no
-    dynamic indexing — the Mosaic-fast subset."""
+    """In-kernel field helpers on (24, T) uint32 normalized values."""
 
     def __init__(self, consts_ref):
-        self.q = consts_ref[:L, :1]  # (L, 1) value
-        self.n0 = consts_ref[L, 0]
+        c = consts_ref[:]
+        self.q = c[:L, :1]  # (24, 1) value
+        self.n0 = c[L, 0]
+        self.q0 = c[0, 0]
+        self.nprime = c[32: 32 + L, :1]  # (24, 1)
+        self._q8 = None
+        self._n8 = None
+
+    def _skew8(self, x24):
+        """(24, T) -> list of 8 (32, T): copy r has x at rows r..r+23."""
+        T = x24.shape[1]
+        z8 = jnp.zeros((8, T), jnp.uint32)
+        base = jnp.concatenate([x24, z8], axis=0)
+        return [base] + [pltpu.roll(base, r, 0) for r in range(1, 8)]
+
+    def q8(self, T):
+        if self._q8 is None:
+            qb = jnp.broadcast_to(self.q, (L, T)).astype(jnp.uint32)
+            self._q8 = self._skew8(qb)
+        return self._q8
+
+    def n8(self, T):
+        if self._n8 is None:
+            nb = jnp.broadcast_to(self.nprime, (L, T)).astype(jnp.uint32)
+            self._n8 = self._skew8(nb)
+        return self._n8
+
+    # -- separated Montgomery multiply (mm2): no serial m-chain ------------
+
+    def _conv(self, a, B8):
+        """Full 48-limb product of a (24, T) against pre-skewed B8.
+        Returns group accumulators (A, H): A[g] holds raw u32 wrapped
+        sums at offset 8g; H[g] the per-product carries (position
+        8g+j+1).  True lo-sum of a row = (A - (H << 16)) mod 2^32."""
+        T = a.shape[1]
+        zero32 = jnp.zeros((32, T), jnp.uint32)
+        A = [zero32, zero32, zero32]
+        H = [zero32, zero32, zero32]
+        for i in range(L):
+            r, g = i & 7, i >> 3
+            p = a[i: i + 1] * B8[r]
+            A[g] = A[g] + p
+            H[g] = H[g] + (p >> 16)
+        return A, H
+
+    @staticmethod
+    def _assemble48(A, H):
+        """Group accumulators -> relaxed 48-row product (rows < 2^21)."""
+        T = A[0].shape[1]
+        z = lambda k: jnp.zeros((k, T), jnp.uint32)
+        AL = [Ag - (Hg << 16) for Ag, Hg in zip(A, H)]
+        P = jnp.concatenate([AL[0], z(16)], 0)
+        P = P + jnp.concatenate([z(8), AL[1], z(8)], 0)
+        P = P + jnp.concatenate([z(16), AL[2]], 0)
+        P = P + jnp.concatenate([z(1), H[0], z(15)], 0)
+        P = P + jnp.concatenate([z(9), H[1], z(7)], 0)
+        P = P + jnp.concatenate([z(17), H[2][:31]], 0)
+        return P
+
+    @staticmethod
+    def _norm_mod(t):
+        """Relaxed rows (< 2^22) -> exact 16-bit rows, mod 2^(16*rows)
+        (carries off the top are dropped)."""
+        s = (t & MASK) + _shift_up(t >> 16, 1)
+        rows, _ = _ckla(s)
+        return rows
+
+    def mm2(self, a, b):
+        """a * b * 2^-384 mod p via separated conv + one reduction.
+
+        Bit-identical to `mm`; ~40% more bulk ops but ZERO serial
+        single-row dependencies (the CIOS m-chain) — on TPU the m-chain
+        latency dominates mm, so this form is the fast one."""
+        T = a.shape[1]
+        P = self._assemble48(*self._conv(a, self._skew8(b)))
+        p_lo = self._norm_mod(P[:L])
+        m = self._norm_mod(self._assemble48(*self._conv(p_lo, self.n8(T)))[:L])
+        MP = self._assemble48(*self._conv(m, self.q8(T)))
+        S = P + MP  # rows < 2^22; value = a*b + m*p ≡ 0 mod 2^384
+        # Exact carry-out of the low half (its normalized rows are 0).
+        s_lo = (S[:L] & MASK) + _shift_up(S[:L] >> 16, 1)
+        low, co_top = _ckla(s_lo)
+        # carry into position 24 = carry-out of row 23 = co_top plus the
+        # dropped (>> 16) of row 23 from the shift-add pass.
+        co = co_top + (S[L - 1: L] >> 16)
+        t = S[L:] + jnp.concatenate(
+            [co, jnp.zeros((L - 1, T), jnp.uint32)], 0)
+        s = (t & MASK) + _shift_up(t >> 16, 1)
+        rows, _ = _ckla(s)
+        return self._cond_sub(rows)
 
     # -- Montgomery multiply ------------------------------------------------
 
     def mm(self, a, b):
-        q, n0 = self.q, self.n0
-        zero_row = jnp.zeros((1, a.shape[1]), jnp.uint32)
+        """a * b * 2^-384 mod p; inputs/outputs normalized (24, T).
 
-        def body(i, carry):
-            a_rot, t = carry
-            ai = a_rot[:1]  # current limb of a (row 0 after rotation)
-            a_rot = pltpu.roll(a_rot, L - 1, 0)  # == roll by -1 on L rows
-            p = ai * b
-            t = (
-                t
-                + jnp.concatenate([p & MASK, zero_row], axis=0)
-                + jnp.concatenate([zero_row, p >> 16], axis=0)
-            )
-            m = (t[0] * n0) & MASK
-            p2 = m[None, :] * q
-            t = (
-                t
-                + jnp.concatenate([p2 & MASK, zero_row], axis=0)
-                + jnp.concatenate([zero_row, p2 >> 16], axis=0)
-            )
-            carry0 = t[:1] >> 16
-            t = jnp.concatenate([t[1:2] + carry0, t[2:], zero_row], axis=0)
-            return (a_rot, t)
+        Dispatches to the separated form (mm2) unless GEMINI_TPU_MM2=0;
+        the CIOS form (mm_cios) is kept for A/B benchmarking."""
+        if os.environ.get("GEMINI_TPU_MM2", "1") == "1":
+            return self.mm2(a, b)
+        return self.mm_cios(a, b)
 
-        t0 = jnp.zeros((L + 1, a.shape[1]), jnp.uint32)
-        _, t = jax.lax.fori_loop(0, L, body, (a, t0), unroll=False)
-        # rows < 2^23: two-step exact normalization.  First shift-add
-        # (rows -> < 2^16 + 2^7), then carry-lookahead.  Value < 2p, so
-        # the >= 2^(16L) part lands entirely in normalized row L.
+    def mm_cios(self, a, b):
+        """Interleaved CIOS form (latency-bound on the serial m-chain)."""
+        T = a.shape[1]
+        B8 = self._skew8(b)
+        Q8 = self.q8(T)
+        zero32 = jnp.zeros((32, T), jnp.uint32)
+        # Group accumulators: A[g]/H[g] hold lo/hi partial products for
+        # outer iterations i in [8g, 8g+8), at position offset 8g
+        # (H[g][j] belongs to position 8g + j + 1).
+        A = [zero32, zero32, zero32]
+        H = [zero32, zero32, zero32]
+        carry = jnp.zeros((1, T), jnp.uint32)
+
+        for i in range(L):
+            r, g = i & 7, i >> 3
+            # Wraparound accumulation: A gets the RAW u32 products
+            # (wrapping mod 2^32); the true lo-sum of a row is
+            # (A - (H << 16)) mod 2^32, exact because it is < 2^20.
+            p = a[i: i + 1] * B8[r]
+            A[g] = A[g] + p
+            H[g] = H[g] + (p >> 16)
+            # v = relaxed value at position i (all contributions so far
+            # + retired carry); static single-row reads.
+            v = A[0][i: i + 1] - (H[0][i: i + 1] << 16) + carry
+            if i >= 1:
+                v = v + H[0][i - 1: i]
+            if i >= 8:
+                v = v + A[1][i - 8: i - 7] - (H[1][i - 8: i - 7] << 16)
+            if i >= 9:
+                v = v + H[1][i - 9: i - 8]
+            if i >= 16:
+                v = v + A[2][i - 16: i - 15] - (H[2][i - 16: i - 15] << 16)
+            if i >= 17:
+                v = v + H[2][i - 17: i - 16]
+            m = (v * self.n0) & MASK
+            carry = (v + ((m * self.q0) & MASK)) >> 16
+            p2 = m * Q8[r]
+            A[g] = A[g] + p2
+            H[g] = H[g] + (p2 >> 16)
+
+        # Positions 24..47 -> result rows 0..23.  All A slices aligned;
+        # H slices are misaligned by one but touched once per mm.
+        AL = [Ag - (Hg << 16) for Ag, Hg in zip(A, H)]
+        t = jnp.concatenate([AL[0][24:32], jnp.zeros((16, T), jnp.uint32)], 0)
+        t = t + jnp.concatenate([AL[1][16:32], jnp.zeros((8, T), jnp.uint32)], 0)
+        t = t + AL[2][8:32]
+        t = t + jnp.concatenate([H[0][23:32], jnp.zeros((15, T), jnp.uint32)], 0)
+        t = t + jnp.concatenate([H[1][15:32], jnp.zeros((7, T), jnp.uint32)], 0)
+        t = t + H[2][7:31]
+        t = t + jnp.concatenate([carry, jnp.zeros((23, T), jnp.uint32)], 0)
+        # Normalize: rows < 2^23 -> one shift-add pass -> < 2^16 + 2^7,
+        # then exact lookahead.  Value < 2p < 2^384: carry-out is 0.
         s = (t & MASK) + _shift_up(t >> 16, 1)
-        rows, _cout = _ckla(s)  # L+1 rows; row L in {0, 1}
-        return self._cond_sub(rows[:L], force=rows[L] > 0)
-
-    def _cond_sub(self, rows, force=None):
-        """Reduce value < 2p into [0, p): subtract q unless it borrows
-        (or unconditionally where `force` (TILE,) is set)."""
-        diff, borrow = self._sub(rows, self.q)
-        take = borrow == 0  # (TILE,)
-        if force is not None:
-            take = jnp.logical_or(take, force)
-        return jnp.where(take[None, :], diff, rows)
-
-    def _sub(self, a, b):
-        """a - b mod 2^(16L) via complement-add + lookahead; returns
-        (diff rows, borrow (TILE,) in {0,1})."""
-        t = a + (MASK - b)  # rows < 2^17
-        one = jnp.concatenate(
-            [jnp.ones((1, a.shape[1]), jnp.uint32),
-             jnp.zeros((L - 1, a.shape[1]), jnp.uint32)], axis=0
-        )
-        t = t + one
-        rows, cout = _ckla(t)
-        return rows, jnp.uint32(1) - cout[0]
+        rows, _ = _ckla(s)
+        return self._cond_sub(rows)
 
     # -- add / sub ----------------------------------------------------------
 
+    def _sub(self, a, b):
+        """a - b mod 2^384 via complement-add; returns (rows, borrow)."""
+        t = a + (MASK - b)
+        one = jnp.concatenate(
+            [jnp.ones((1, a.shape[1]), jnp.uint32),
+             jnp.zeros((L - 1, a.shape[1]), jnp.uint32)], axis=0)
+        rows, cout = _ckla(t + one)
+        return rows, jnp.uint32(1) - cout
+
+    def _cond_sub(self, rows, force=None):
+        """Reduce value < 2p into [0, p)."""
+        diff, borrow = self._sub(rows, self.q)
+        take = borrow == 0  # (1, T)
+        if force is not None:
+            take = jnp.logical_or(take, force)
+        return jnp.where(take, diff, rows)
+
     def fadd(self, a, b):
         rows, cout = _ckla(a + b)
-        return self._cond_sub(rows, force=cout[0] > 0)
+        return self._cond_sub(rows, force=cout > 0)
 
     def fdbl(self, a):
         return self.fadd(a, a)
 
     def fsub(self, a, b):
         diff, borrow = self._sub(a, b)
-        # if borrowed, add q back (a < b case)
-        qfix = jnp.where((borrow > 0)[None, :], self.q * jnp.uint32(1), 0)
-        rows, cout = _ckla(diff + qfix.astype(jnp.uint32))
+        qfix = jnp.where(borrow > 0, jnp.broadcast_to(self.q, a.shape), 0)
+        rows, _ = _ckla(diff + qfix.astype(jnp.uint32))
         return rows
 
 
 def _is_zero(a):
-    return jnp.all(a == 0, axis=0)  # (TILE,)
+    return jnp.all(a == 0, axis=0, keepdims=True)  # (1, T)
 
 
 def _sel(mask, a, b):
-    return jnp.where(mask[None, :], a, b)
+    return jnp.where(mask, a, b)
+
+
+def _mul12(F, x):
+    """12*x mod p (b3 = 3b = 12 for BLS12-381) via 8x + 4x."""
+    x2 = F.fdbl(x)
+    x4 = F.fdbl(x2)
+    x8 = F.fdbl(x4)
+    return F.fadd(x8, x4)
+
+
+def _padd_core(F, x1, y1, z1, x2, y2, z2):
+    """Complete projective addition for a=0 short-Weierstrass curves
+    (Renes-Costello-Batina 2015, Algorithm 7; validated against the
+    host refimpl incl. doubling/identity/negation cases).  12 mm + 2
+    mul-by-12 + ~23 add/sub; no branches, identity = (0 : 1 : 0).
+
+    Complete for every point of E(Fq): BLS12-381's curve order h*r is
+    odd, so there is no 2-torsion to except."""
+    t0 = F.mm(x1, x2)
+    t1 = F.mm(y1, y2)
+    t2 = F.mm(z1, z2)
+    t3 = F.mm(F.fadd(x1, y1), F.fadd(x2, y2))
+    t3 = F.fsub(F.fsub(t3, t0), t1)  # x1y2 + x2y1
+    t4 = F.mm(F.fadd(y1, z1), F.fadd(y2, z2))
+    t4 = F.fsub(F.fsub(t4, t1), t2)  # y1z2 + y2z1
+    x3 = F.mm(F.fadd(x1, z1), F.fadd(x2, z2))
+    y3 = F.fsub(F.fsub(x3, t0), t2)  # x1z2 + x2z1
+    t0 = F.fadd(F.fdbl(t0), t0)      # 3 x1x2
+    t2 = _mul12(F, t2)               # b3 z1z2
+    z3 = F.fadd(t1, t2)
+    t1 = F.fsub(t1, t2)
+    y3 = _mul12(F, y3)               # b3 (x1z2 + x2z1)
+    x3 = F.fsub(F.mm(t3, t1), F.mm(t4, y3))
+    y3 = F.fadd(F.mm(t1, z3), F.mm(y3, t0))
+    z3 = F.fadd(F.mm(z3, t4), F.mm(t0, t3))
+    return x3, y3, z3
 
 
 def _dbl_core(F, x, y, z):
@@ -243,28 +401,24 @@ def _dbl_kernel(k, x1, y1, z1, ox, oy, oz):
     oz[:] = z3
 
 
-def _seg_kernel(k, x1, y1, z1, f1, x2, y2, z2, f2, ox, oy, oz, of):
-    """Segmented-sum combiner: (v1,f1).(v2,f2) =
-    (f2 ? v2 : v1+v2, f1|f2); flags are (8, TILE) u32 0/1 planes."""
+def _mm_kernel(k, a, b, o):
+    o[:] = _F(k).mm(a[:], b[:])
+
+
+def _padd_kernel(k, x1, y1, z1, x2, y2, z2, ox, oy, oz):
     F = _F(k)
-    x3, y3, z3 = _add_core(F, x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
-    start_b = f2[0] != 0  # (TILE,)
-    ox[:] = _sel(start_b, x2[:], x3)
-    oy[:] = _sel(start_b, y2[:], y3)
-    oz[:] = _sel(start_b, z2[:], z3)
-    of[:] = f1[:] | f2[:]
+    x3, y3, z3 = _padd_core(F, x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
+    ox[:] = x3
+    oy[:] = y3
+    oz[:] = z3
 
 
-def _coord_spec():
-    return pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+def _coord_spec(tile):
+    return pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
 def _const_spec():
-    return pl.BlockSpec((L + 1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-
-def _flag_spec():
-    return pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((64, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _consts():
@@ -283,8 +437,92 @@ def _pad_lanes(a, n_pad):
 
 
 def _flatten(a):
-    """(L, *batch) -> (L, prod(batch)); returns array and batch shape."""
     return a.reshape(a.shape[0], -1), a.shape[1:]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _add_call(tile, x1, y1, z1, x2, y2, z2):
+    n = x1.shape[1]
+    npad = -(-n // tile) * tile
+    ins = [_pad_lanes(a, npad) for a in (x1, y1, z1, x2, y2, z2)]
+    return pl.pallas_call(
+        _add_kernel,
+        grid=(npad // tile,),
+        in_specs=[_const_spec()] + [_coord_spec(tile)] * 6,
+        out_specs=[_coord_spec(tile)] * 3,
+        out_shape=[_coord_out(npad)] * 3,
+    )(_consts(), *ins)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _dbl_call(tile, x1, y1, z1):
+    n = x1.shape[1]
+    npad = -(-n // tile) * tile
+    ins = [_pad_lanes(a, npad) for a in (x1, y1, z1)]
+    return pl.pallas_call(
+        _dbl_kernel,
+        grid=(npad // tile,),
+        in_specs=[_const_spec()] + [_coord_spec(tile)] * 3,
+        out_specs=[_coord_spec(tile)] * 3,
+        out_shape=[_coord_out(npad)] * 3,
+    )(_consts(), *ins)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _padd_call(tile, x1, y1, z1, x2, y2, z2):
+    n = x1.shape[1]
+    npad = -(-n // tile) * tile
+    ins = [_pad_lanes(a, npad) for a in (x1, y1, z1, x2, y2, z2)]
+    return pl.pallas_call(
+        _padd_kernel,
+        grid=(npad // tile,),
+        in_specs=[_const_spec()] + [_coord_spec(tile)] * 6,
+        out_specs=[_coord_spec(tile)] * 3,
+        out_shape=[_coord_out(npad)] * 3,
+    )(_consts(), *ins)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mm_call(tile, a, b):
+    n = a.shape[1]
+    npad = -(-n // tile) * tile
+    ins = [_pad_lanes(x, npad) for x in (a, b)]
+    return pl.pallas_call(
+        _mm_kernel,
+        grid=(npad // tile,),
+        in_specs=[_const_spec()] + [_coord_spec(tile)] * 2,
+        out_specs=_coord_spec(tile),
+        out_shape=_coord_out(npad),
+    )(_consts(), *ins)
+
+
+def padd(p, q):
+    """Complete projective add: p, q are (x, y, z) tuples of
+    (L, *batch) coords; identity is (0 : 1 : 0).  One fused kernel."""
+    x1, batch = _flatten(p[0])
+    y1, _ = _flatten(p[1])
+    z1, _ = _flatten(p[2])
+    x2, _ = _flatten(q[0])
+    y2, _ = _flatten(q[1])
+    z2, _ = _flatten(q[2])
+    n = x1.shape[1]
+    ox, oy, oz = _padd_call(_tile(), x1, y1, z1, x2, y2, z2)
+    shape = (L, *batch)
+    return (
+        ox[:, :n].reshape(shape),
+        oy[:, :n].reshape(shape),
+        oz[:, :n].reshape(shape),
+    )
+
+
+def mont_mul(a, b):
+    """Standalone Montgomery multiply (test/validation entry point)."""
+    af, batch = _flatten(a)
+    bf, _ = _flatten(b)
+    n = af.shape[1]
+    tile = min(_tile(), max(128, 1 << (n - 1).bit_length()))
+    out = _mm_call(tile, af, bf)
+    return out[:, :n].reshape(L, *batch)
 
 
 def add(p, q):
@@ -296,16 +534,8 @@ def add(p, q):
     y2, _ = _flatten(q.y)
     z2, _ = _flatten(q.z)
     n = x1.shape[1]
-    npad = -(-n // TILE) * TILE
-    ins = [_pad_lanes(a, npad) for a in (x1, y1, z1, x2, y2, z2)]
-    grid = npad // TILE
-    ox, oy, oz = pl.pallas_call(
-        _add_kernel,
-        grid=(grid,),
-        in_specs=[_const_spec()] + [_coord_spec()] * 6,
-        out_specs=[_coord_spec()] * 3,
-        out_shape=[_coord_out(npad)] * 3,
-    )(_consts(), *ins)
+    tile = _tile()
+    ox, oy, oz = _add_call(tile, x1, y1, z1, x2, y2, z2)
     shape = (L, *batch)
     return (
         ox[:, :n].reshape(shape),
@@ -319,60 +549,11 @@ def double(p):
     y1, _ = _flatten(p.y)
     z1, _ = _flatten(p.z)
     n = x1.shape[1]
-    npad = -(-n // TILE) * TILE
-    ins = [_pad_lanes(a, npad) for a in (x1, y1, z1)]
-    grid = npad // TILE
-    ox, oy, oz = pl.pallas_call(
-        _dbl_kernel,
-        grid=(grid,),
-        in_specs=[_const_spec()] + [_coord_spec()] * 3,
-        out_specs=[_coord_spec()] * 3,
-        out_shape=[_coord_out(npad)] * 3,
-    )(_consts(), *ins)
+    tile = _tile()
+    ox, oy, oz = _dbl_call(tile, x1, y1, z1)
     shape = (L, *batch)
     return (
         ox[:, :n].reshape(shape),
         oy[:, :n].reshape(shape),
         oz[:, :n].reshape(shape),
-    )
-
-
-def seg_combine(a: dict, b: dict):
-    """Pallas version of the MSM segmented-scan combiner.  Dicts carry
-    x/y/z (L, *batch) and flag (1, *batch) bool."""
-    x1, batch = _flatten(a["x"])
-    n = x1.shape[1]
-    npad = -(-n // TILE) * TILE
-
-    def prep_flag(f):
-        fl = f.reshape(1, -1).astype(jnp.uint32)
-        fl = jnp.broadcast_to(fl, (8, fl.shape[1]))
-        return _pad_lanes(fl, npad)
-
-    ins = [
-        _pad_lanes(_flatten(a["x"])[0], npad),
-        _pad_lanes(_flatten(a["y"])[0], npad),
-        _pad_lanes(_flatten(a["z"])[0], npad),
-        prep_flag(a["flag"]),
-        _pad_lanes(_flatten(b["x"])[0], npad),
-        _pad_lanes(_flatten(b["y"])[0], npad),
-        _pad_lanes(_flatten(b["z"])[0], npad),
-        prep_flag(b["flag"]),
-    ]
-    grid = npad // TILE
-    ox, oy, oz, of = pl.pallas_call(
-        _seg_kernel,
-        grid=(grid,),
-        in_specs=[_const_spec()]
-        + [_coord_spec(), _coord_spec(), _coord_spec(), _flag_spec()] * 2,
-        out_specs=[_coord_spec(), _coord_spec(), _coord_spec(), _flag_spec()],
-        out_shape=[_coord_out(npad)] * 3
-        + [jax.ShapeDtypeStruct((8, npad), jnp.uint32)],
-    )(_consts(), *ins)
-    shape = (L, *batch)
-    return dict(
-        x=ox[:, :n].reshape(shape),
-        y=oy[:, :n].reshape(shape),
-        z=oz[:, :n].reshape(shape),
-        flag=(of[0, :n] != 0).reshape((1, *batch)),
     )
