@@ -39,8 +39,7 @@ def _copy_kernel(k, a, b, o):
 def run_chain(name, kernel, n):
     spec = lambda: pl.BlockSpec((L, TILE), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((32, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
+    cspec = pallas_g1._const_spec()
     call = pl.pallas_call(
         kernel,
         grid=(n // TILE,),
@@ -58,10 +57,15 @@ def run_chain(name, kernel, n):
 
     a = jnp.asarray(FQ.encode([3] * n))
     b = jnp.asarray(FQ.encode([5] * n))
-    t0 = time.time(); np.asarray(chain(a, b)); warm = time.time() - t0
+    # tiny dependent readback: full-array asarray measures the tunnel,
+    # not the kernel (PERF.md round 2)
+    force = jax.jit(lambda t: t[:, :1])
+    t0 = time.time(); np.asarray(force(chain(a, b))); warm = time.time() - t0
     best = float("inf")
     for _ in range(3):
-        t0 = time.time(); np.asarray(chain(a, b)); best = min(best, time.time() - t0)
+        t0 = time.time()
+        np.asarray(force(chain(a, b)))
+        best = min(best, time.time() - t0)
     per = best / (K * n)
     print(f"{name:>12} n=2^{LOGN} tile={TILE}: {best*1e3:8.1f} ms chain({K}) "
           f"-> {per*1e9:8.2f} ns/lane  (warm {warm:.1f}s)")

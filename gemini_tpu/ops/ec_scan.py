@@ -138,26 +138,30 @@ def _flip(x, y, z):
     return x[..., ::-1], y[..., ::-1], z[..., ::-1]
 
 
-def inclusive_scan_ec(elems, reverse: bool = False):
-    """Inclusive scan of Jacobian points (x, y, z) (L, *batch, n)
-    along the LAST axis under point addition; n a power of two."""
+def inclusive_scan_ec(elems, reverse: bool = False, combiner=None):
+    """Inclusive scan of points (x, y, z) (L, *batch, n) along the
+    LAST axis under point addition; n a power of two.  `combiner`
+    defaults to the tape-VM Jacobian add; pass
+    `pallas_padd_points` for the fused projective TPU path."""
+    if combiner is None:
+        combiner = add_points
     n = elems[0].shape[-1]
     assert n & (n - 1) == 0
     if reverse:
         elems = _flip(*elems)
-        out = inclusive_scan_ec(elems)
+        out = inclusive_scan_ec(elems, combiner=combiner)
         return _flip(*out)
     if n == 1:
         return elems
     ex, ey, ez, ox, oy, oz = _eo_split(*elems)
     evens = (ex, ey, ez)
     odds = (ox, oy, oz)
-    reduced = add_points(evens, odds)  # scan values at odd positions
-    scanned = inclusive_scan_ec(reduced)
+    reduced = combiner(evens, odds)  # scan values at odd positions
+    scanned = inclusive_scan_ec(reduced, combiner=combiner)
     if n == 2:
         return _interleave_first(evens, evens, scanned)
     shifted = _shift_right(*scanned)
-    combined = add_points(shifted, evens)
+    combined = combiner(shifted, evens)
     return _interleave_first(evens, combined, scanned)
 
 
@@ -170,10 +174,21 @@ def _halves(x, y, z):
     )
 
 
-def tree_reduce(elems):
+def tree_reduce(elems, combiner=None):
     """Sum (x, y, z) along the LAST axis -> size 1; power-of-two n."""
+    if combiner is None:
+        combiner = add_points
     x, y, z = elems
     while x.shape[-1] > 1:
         ax, ay, az, bx, by, bz = _halves(x, y, z)
-        x, y, z = add_points((ax, ay, az), (bx, by, bz))
+        x, y, z = combiner((ax, ay, az), (bx, by, bz))
     return x, y, z
+
+
+def pallas_padd_points(a, b):
+    """Complete projective add (RCB) via the fused Pallas kernel —
+    the TPU fast path (curve/pallas_g1.py).  Identity is (0 : y : 0),
+    y nonzero."""
+    from ..curve import pallas_g1
+
+    return pallas_g1.padd(a, b)

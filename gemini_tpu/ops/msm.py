@@ -49,13 +49,22 @@ LIMB_BITS = fp.LIMB_BITS
 WINDOW_CHUNK = 4
 
 
-def default_window(n: int) -> int:
-    """Pick the window size c: 2^c buckets should stay well under the
-    point count so bucket-phase work doesn't dominate."""
+def default_window(n: int, n_bits: int = 255) -> int:
+    """Pick the window size c minimizing the pipeline's add count.
+
+    Per window-chunk the suffix scan costs ~2·Wc·n adds and the bucket
+    tree-reduce ~2·Wc·2^c, and chunks = ceil(W / Wc) with
+    W = ceil(n_bits / c) — so minimize ceil(W/Wc)·(n + 2^c).  Computed
+    per padded bucket size, so each bucket compiles one pipeline."""
     if n <= 32:
         return 3
-    c = max(3, int(np.log2(max(n, 2))) - 3)
-    return min(16, c)
+    best_c, best_cost = 3, float("inf")
+    for c in range(4, 21):
+        w = -(-n_bits // c)
+        cost = -(-w // WINDOW_CHUNK) * (n + (1 << c))
+        if cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
 
 
 def extract_digits(scalars: jnp.ndarray, c: int, n_bits: int = 255):
@@ -123,38 +132,122 @@ def _gather_boundaries(sx, sy, sz, sd, c: int):
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _horner_kernel(totals, c: int, n_bits: int):
-    """result = sum_w 2^(c*w) * T_w via one fori_loop of
-    double + (conditional) add; totals: (L, W) x/y/z tuple."""
-    tx, ty, tz = totals
-    W = tx.shape[1]
-    top_bit = c * (W - 1)
+def _horner_host(totals_jac, c: int) -> JPoint:
+    """result = sum_w 2^(c*w) * T_w, combined on HOST.
 
-    # acc starts at T_{W-1}; for bit b from top_bit-1 down to 0:
-    # acc = 2*acc; if b % c == 0: acc += T_{b//c}.
-    acc = (tx[:, -1:], ty[:, -1:], tz[:, -1:])
+    The window totals are O(W) points — reading them back costs ~3 KB
+    while the device Horner alternative (a fori_loop of ~255 tape-VM
+    double+adds) was the single worst compile in the whole MSM (tens of
+    minutes cold on TPU, per distinct W).  Host cost: c*(W-1) affine
+    doublings ≈ sub-millisecond, overlapped with nothing — the rest of
+    the pipeline has already drained by the time totals are real."""
+    from ..refimpl import g1_add, g1_double
 
-    def loop_body(i, acc):
-        b = top_bit - 1 - i
-        d = g1.double(JPoint(*acc))
-        w = b // c
-        is_window = (b % c) == 0
-        tw = (
-            jax.lax.dynamic_slice_in_dim(tx, w, 1, axis=1),
-            jax.lax.dynamic_slice_in_dim(ty, w, 1, axis=1),
-            jax.lax.dynamic_slice_in_dim(tz, w, 1, axis=1),
+    pts = g1.decode_jacobian(JPoint(*totals_jac))
+    acc = None
+    for w in reversed(range(len(pts))):
+        if acc is not None:
+            for _ in range(c):
+                acc = g1_double(acc)
+        acc = g1_add(acc, pts[w])
+    one = FQ.ones_mont((1,))
+    if acc is None:
+        return JPoint(FQ.zeros((1,)), one, FQ.zeros((1,)))
+    ap = g1.encode_affine([acc])
+    return JPoint(jnp.asarray(ap.x), jnp.asarray(ap.y), one)
+
+
+@jax.jit
+def _sort_gather_proj(px, py, pinf, digits):
+    """Sort each window's points by digit, emitting PROJECTIVE coords
+    for the RCB pipeline: dead lanes (infinity or digit 0) become the
+    identity (0 : y : 0) with y nonzero (projective scaling makes any
+    nonzero y valid)."""
+    Wc, n = digits.shape
+    order = jnp.argsort(digits, axis=1)
+    sd = jnp.take_along_axis(digits, order, axis=1)
+    gx = px[:, order]
+    gy = py[:, order]
+    ginf = pinf[order]
+    one = FQ.ones_mont((Wc, n))
+    dead = jnp.logical_or(ginf, sd == 0)
+    x = fp.select(dead, FQ.zeros((Wc, n)), gx)
+    y = fp.select(ginf, one, gy)
+    z = fp.select(dead, FQ.zeros((Wc, n)), one)
+    return x, y, z, sd
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _gather_boundaries_proj(sx, sy, sz, sd, c: int):
+    """Suffix sums at threshold boundaries (projective): empty-suffix
+    padding is the identity (0 : 1 : 0)."""
+    Wc, n = sd.shape
+    n_buckets = 1 << c
+    zero_col = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
+    one_col = FQ.ones_mont((Wc, 1))
+    sx = jnp.concatenate([sx, zero_col], axis=2)
+    sy = jnp.concatenate([sy, one_col], axis=2)
+    sz = jnp.concatenate([sz, zero_col], axis=2)
+    ks = jnp.arange(1, n_buckets, dtype=jnp.uint32)
+    boundaries = jax.vmap(
+        lambda row: jnp.searchsorted(row, ks, side="left")
+    )(sd)
+    warr = jnp.arange(Wc)[:, None]
+    bx = sx[:, warr, boundaries]
+    by = sy[:, warr, boundaries]
+    bz = sz[:, warr, boundaries]
+    return (
+        jnp.concatenate([bx, zero_col], axis=2),
+        jnp.concatenate([by, one_col], axis=2),
+        jnp.concatenate([bz, zero_col], axis=2),
+    )
+
+
+@jax.jit
+def _proj_to_jacobian(x, y, z):
+    """(X : Y : Z) -> Jacobian (XZ, YZ^2, Z) (agree whenever Z != 0;
+    both encode infinity as Z == 0)."""
+    xz = fp.mont_mul(FQ, x, z)
+    z2 = fp.mont_mul(FQ, z, z)
+    yz2 = fp.mont_mul(FQ, y, z2)
+    return xz, yz2, z
+
+
+def _use_proj() -> bool:
+    """Fused Pallas projective pipeline: default on TPU, off elsewhere
+    (the Mosaic kernels only build for TPU)."""
+    import os
+
+    if os.environ.get("GEMINI_TPU_PROJ") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _window_chunk(px, py, pinf, chunk, c: int, use_proj: bool):
+    """One window-chunk of the Pippenger pipeline as a SINGLE jitted
+    computation: sort-by-digit, suffix scan, boundary gather, bucket
+    tree-reduce.  Fusing the whole chunk keeps the scan's glue ops
+    (splits/concats/interleaves) out of the per-op dispatch path — at
+    2^20 the unfused pipeline was ~10^3 tunnel dispatches per MSM and
+    dispatch-bound, not compute-bound."""
+    if use_proj:
+        combiner = ec_scan.pallas_padd_points
+        gx, gy, gz, sd = _sort_gather_proj(px, py, pinf, chunk)
+        suffix = ec_scan.inclusive_scan_ec(
+            (gx, gy, gz), reverse=True, combiner=combiner
         )
-        # identity when not at a window boundary
-        tw = JPoint(
-            tw[0], tw[1],
-            jnp.where(is_window, tw[2], jnp.zeros_like(tw[2])),
-        )
-        out = g1.add(d, tw)
-        return (out.x, out.y, out.z)
-
-    acc = jax.lax.fori_loop(0, top_bit, loop_body, acc)
-    return acc
+        bx, by, bz = _gather_boundaries_proj(*suffix, sd, c)
+        x, y, z = ec_scan.tree_reduce((bx, by, bz), combiner=combiner)
+    else:
+        gx, gy, gz, sd = _sort_gather(px, py, pinf, chunk)
+        suffix = ec_scan.inclusive_scan_ec((gx, gy, gz), reverse=True)
+        bx, by, bz = _gather_boundaries(*suffix, sd, c)
+        x, y, z = ec_scan.tree_reduce((bx, by, bz))
+    return x[..., 0], y[..., 0], z[..., 0]
 
 
 def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
@@ -165,11 +258,15 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
     (non-Montgomery) limbs.  Returns a JPoint with batch shape (1,).
     """
     n = points.x.shape[1]
+    # Pad to a power-of-4 shape bucket with (infinity, 0) pairs — a
+    # mathematical no-op that keeps every scan level at a power-of-two
+    # shape AND collapses the distinct compiled pipelines across all
+    # commit sizes in a proof to O(log4 N) (PERF.md roadmap 6).  The
+    # window size is derived from the bucket so each bucket compiles
+    # exactly one digit/horner pipeline.
+    npad = scan_util.bucket4(n, floor=256)
     if c is None:
-        c = default_window(n)
-    # Pad to a power of two with (infinity, 0) pairs — a mathematical
-    # no-op that keeps every scan level at a power-of-two shape.
-    npad = scan_util.next_pow2(n)
+        c = default_window(npad)
     if npad != n:
         pad = npad - n
         points = APoint(
@@ -184,6 +281,7 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
         )
     digits = extract_digits(scalars, c, n_bits)
     W = digits.shape[0]
+    use_proj = _use_proj()
     tx, ty, tz = [], [], []
     for w0 in range(0, W, WINDOW_CHUNK):
         chunk = digits[w0: w0 + WINDOW_CHUNK]
@@ -192,22 +290,20 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
                 (WINDOW_CHUNK - chunk.shape[0], chunk.shape[1]), jnp.uint32
             )
             chunk = jnp.concatenate([chunk, fill], axis=0)
-        gx, gy, gz, sd = _sort_gather(
-            points.x, points.y, points.inf, chunk
+        x, y, z = _window_chunk(
+            points.x, points.y, points.inf, chunk, c, use_proj
         )
-        suffix = ec_scan.inclusive_scan_ec((gx, gy, gz), reverse=True)
-        bx, by, bz = _gather_boundaries(*suffix, sd, c)
-        x, y, z = ec_scan.tree_reduce((bx, by, bz))
-        tx.append(x[..., 0])
-        ty.append(y[..., 0])
-        tz.append(z[..., 0])
+        tx.append(x)
+        ty.append(y)
+        tz.append(z)
     totals = (
         jnp.concatenate(tx, axis=1)[:, :W],
         jnp.concatenate(ty, axis=1)[:, :W],
         jnp.concatenate(tz, axis=1)[:, :W],
     )
-    acc = _horner_kernel(totals, c, n_bits)
-    return JPoint(*acc)
+    if use_proj:
+        totals = _proj_to_jacobian(*totals)
+    return _horner_host(totals, c)
 
 
 def msm_mont_scalars(points: APoint, scalars_mont: jnp.ndarray,

@@ -82,6 +82,21 @@ def hadamard(spec: FieldSpec, a, b):
     return fp.mont_mul(spec, a, b)
 
 
+def lane_prod(spec: FieldSpec, v) -> int:
+    """Product of all lane elements of a (L, N) Montgomery vector ->
+    canonical int, via a log-depth tree of halving Montgomery muls
+    (replaces the psnark prover's former host loop over decoded ints,
+    which was O(nnz) Python bigint work)."""
+    n = v.shape[1]
+    npad = 1 if n <= 1 else 1 << (n - 1).bit_length()
+    if npad != n:
+        v = jnp.concatenate([v, spec.ones_mont((npad - n,))], axis=1)
+    while v.shape[1] > 1:
+        half = v.shape[1] // 2
+        v = fp.mont_mul(spec, v[:, :half], v[:, half:])
+    return spec.decode(v)[0]
+
+
 def ip(spec: FieldSpec, a, b) -> int:
     """Inner product of two (L, N) Montgomery vectors -> canonical int."""
     prod = fp.mont_mul(spec, a, b)

@@ -59,6 +59,25 @@ def next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+# Shape-quantization floor: protocol vectors are zero/identity-padded
+# up to `SHAPE_FLOOR * 4^k` physical sizes so the whole prover stack
+# touches O(log4 N) distinct kernel shapes instead of O(log2 N) per
+# stage (PERF.md roadmap 6: cold TPU compiles were the end-to-end
+# bottleneck).  Padding is semantics-free: sumcheck round messages,
+# folds, suffix sums and MSMs all ignore zero/infinity tails.
+SHAPE_FLOOR = 1 << 10
+
+
+def bucket4(n: int, floor: int = SHAPE_FLOOR) -> int:
+    """Smallest floor * 4^k >= n (floor must be a power of two)."""
+    if n <= floor:
+        return floor
+    p = next_pow2(n)
+    if ((p // floor).bit_length() - 1) & 1:
+        p <<= 1
+    return p
+
+
 def inclusive_scan(combine: Callable, elems: Any, axis: int = 1,
                    reverse: bool = False):
     """Inclusive associative scan along `axis`; length must be a power

@@ -135,6 +135,9 @@ class ShardedTimeProver:
         tail.twist = self.twist
         tail.tot_rounds = self.tot_rounds
         tail.round = self.round
+        # logical length: shards stayed fold-local, so the physical
+        # width equals the remaining instance size (a power of two)
+        tail.n = tail.f.shape[1]
         return tail
 
     def fold(self, r: int) -> None:

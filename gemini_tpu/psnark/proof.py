@@ -60,11 +60,9 @@ def _append_index(transcript: GeminiTranscript, ck_g2: Sequence,
 
 
 def _prod(v: jnp.ndarray) -> int:
-    vals = FR.decode(v)
-    out = 1
-    for x in vals:
-        out = out * x % R
-    return out
+    """Grand product of a device vector (log-depth device tree; one
+    scalar readback)."""
+    return poly.lane_prod(FR, v)
 
 
 def _hadamard(a, b):

@@ -199,13 +199,11 @@ class ElasticProver:
         if self.time is None and remaining <= self.threshold:
             f = s._materialize_folded(twisted=True)
             g = s._materialize_folded(twisted=False)
+            # TimeProver pads to the shape bucket and builds the twist
+            # powers for the current width from s.twist itself.
             t = TimeProver(f, g, s.twist)
             t.tot_rounds = s.tot_rounds
             t.round = len(s.challenges)
-            # rebuild twist powers for the current width
-            n = max(f.shape[1], g.shape[1])
-            if n >= 2:
-                t.t_pow = poly.powers(FR, s.twist * s.twist % R, n // 2)
             self.time = t
 
     def rounds(self) -> int:

@@ -81,18 +81,15 @@ def plookup_subset(v: jnp.ndarray, y: int) -> jnp.ndarray:
 
 def compute_frequency(set_len: int, index: Sequence[int]) -> np.ndarray:
     """1 + lookup count per set position (time_prover.rs:65-70)."""
-    freq = np.ones(set_len, dtype=np.int64)
-    for i in index:
-        freq[i] += 1
-    return freq
+    idx = np.asarray(index, dtype=np.int64)
+    return 1 + np.bincount(idx, minlength=set_len).astype(np.int64)
 
 
-def extend_frequency(frequency: np.ndarray) -> List[int]:
+def extend_frequency(frequency: np.ndarray) -> np.ndarray:
     """(i repeated frequency[i] times) (time_prover.rs:72-79)."""
-    out: List[int] = []
-    for i, f in enumerate(frequency):
-        out.extend([i] * int(f))
-    return out
+    return np.repeat(
+        np.arange(len(frequency), dtype=np.int64), frequency
+    )
 
 
 def sorted_vector(set_v: jnp.ndarray, frequency: np.ndarray) -> jnp.ndarray:

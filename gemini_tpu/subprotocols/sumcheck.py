@@ -42,6 +42,7 @@ import numpy as np
 from ..fields import fp
 from ..fields.fp import FR
 from ..ops import poly
+from ..ops import scan as scan_util
 from ..params import R
 from ..serialize import fr_to_bytes
 from ..transcript import GeminiTranscript
@@ -113,40 +114,56 @@ def _round_message_kernel(f, g, t_pow, twist):
     )
 
 
-@jax.jit
-def _fold_kernel(f, g, t_pow, r, r_twist):
+@partial(jax.jit, static_argnums=(5,))
+def _fold_kernel(f, g, t_pow, r, r_twist, b_out: int):
+    """Fold f, g and subsample the twist powers, re-quantizing the
+    physical size to the `b_out` bucket (zero tails are semantics-free;
+    see ops/scan.py bucket4)."""
     f2 = poly.fold_polynomial(FR, f, r_twist)
     g2 = poly.fold_polynomial(FR, g, r)
     # T_k = twist^(2k); next round needs (twist^2)^(2k) = T_(2k):
     # subsample the even positions (no squaring).
     t2 = t_pow[:, 0::2]
+    if f2.shape[1] > b_out:
+        f2, g2, t2 = f2[:, :b_out], g2[:, :b_out], t2[:, : b_out // 2]
+    elif f2.shape[1] < b_out:
+        f2 = poly.pad_to(FR, f2, b_out)
+        g2 = poly.pad_to(FR, g2, b_out)
+        t2 = poly.pad_to(FR, t2, b_out // 2)
     return f2, g2, t2
 
 
 class TimeProver:
-    """Dense in-HBM prover for one twisted scalar product."""
+    """Dense in-HBM prover for one twisted scalar product.
+
+    Physical array sizes are quantized to power-of-4 buckets
+    (ops/scan.py bucket4) so all provers in a protocol share a handful
+    of compiled kernel shapes; `self.n` tracks the logical (protocol)
+    length, which alone determines round count and messages."""
 
     def __init__(self, f, g, twist: int):
         n = 1 << required_rounds(max(f.shape[1], g.shape[1]))
-        self.f = poly.pad_to(FR, f, n)
-        self.g = poly.pad_to(FR, g, n)
+        b = scan_util.bucket4(n)
+        self.n = n
+        self.f = poly.pad_to(FR, f, b)
+        self.g = poly.pad_to(FR, g, b)
         self.twist = twist % R
         self.tot_rounds = required_rounds(n)
         self.round = 0
-        # T_k = twist^(2k), k < n/2
-        if n >= 2:
-            self.t_pow = poly.powers(FR, self.twist * self.twist % R, n // 2)
-        else:
-            self.t_pow = FR.ones_mont((1,))
+        # T_k = twist^(2k), k < b/2 (entries past the logical n/2 only
+        # ever multiply the zero tail of f, g)
+        self.t_pow = poly.powers(FR, self.twist * self.twist % R, b // 2)
 
     def rounds(self) -> int:
         return self.tot_rounds
 
     def fold(self, r: int) -> None:
         r_twist = poly.scalar(FR, r * self.twist % R)
-        if self.f.shape[1] > 1:
+        if self.n > 1:
+            self.n //= 2
             self.f, self.g, self.t_pow = _fold_kernel(
-                self.f, self.g, self.t_pow, poly.scalar(FR, r), r_twist
+                self.f, self.g, self.t_pow, poly.scalar(FR, r), r_twist,
+                scan_util.bucket4(self.n),
             )
         self.twist = self.twist * self.twist % R
 
