@@ -292,21 +292,16 @@ class Proof:
         )
 
     @staticmethod
-    def new_elastic(ck_stream, r1cs: R1cs,
-                    idx: Sequence[G1Host]) -> "Proof":
-        """API-compatible elastic entry point
-        (psnark/elastic_prover.rs:60 analogue).
+    def new_elastic(ck_stream, r1cs: R1cs, idx: Sequence[G1Host],
+                    block_size: int = 1 << 20,
+                    threshold: int | None = None) -> "Proof":
+        """Space-efficient prover (psnark/elastic_prover.rs:60-635
+        analogue): the full pipeline over host-RAM block streams with
+        bounded device memory, bit-identical proofs to `new_time`
+        (tested).  See psnark/elastic.py for the stream mapping."""
+        from .elastic import new_elastic as _new_elastic
 
-        NOT YET SPACE-EFFICIENT: currently delegates to the dense
-        prover (identical proofs by definition).  The streaming
-        primitives it needs — HostVector sources, block-contraction
-        folds, chunked-MSM commits — exist and are transcript-equal to
-        their dense twins (gemini_tpu/streaming/, tested), but the
-        psnark pipeline's lookup/plookup/entry-product stages have not
-        been rebuilt on them yet; that is the main remaining
-        space-efficiency work (the reference's psnark/streams/ zoo).
-        """
-        return Proof.new_time(ck_stream.ck, r1cs, idx)
+        return _new_elastic(ck_stream, r1cs, idx, block_size, threshold)
 
     # -- verifier ---------------------------------------------------------
 

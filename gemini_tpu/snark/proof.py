@@ -110,78 +110,58 @@ class Proof:
         )
 
     @staticmethod
-    def new_elastic(r1cs: R1cs, ck_stream, block_size: int = 1 << 20,
+    def new_elastic(r1cs, ck_stream, block_size: int = 1 << 20,
                     threshold: int | None = None) -> "Proof":
         """Space-efficient prover (snark/elastic_prover.rs:174 analogue):
         produces a proof bit-identical to `new_time` (tested) while
         keeping device memory bounded — the witness commitment streams
         host-RAM blocks through chunked MSMs, zc(α) is a streaming
-        evaluation, and both sumchecks run the elastic prover
+        evaluation, both sumchecks run the elastic prover
         (host-resident coefficients, per-round block contraction, dense
-        switch under SPACE_TIME_THRESHOLD).
+        switch under SPACE_TIME_THRESHOLD), and the tensorcheck tail
+        streams through the fold-tree commit/open
+        (kzg/space.rs:192-285 analogue, streaming/tensorcheck.py).
 
-        The tensorcheck tail currently materializes its two body
-        polynomials on device (the reference's fold-tree commit,
-        kzg/space.rs:192-223, is the remaining streaming piece).
-        """
+        `r1cs` may be a dense `R1cs` or a relation stream (e.g.
+        `DummyR1csStream`, the O(1)-memory giant-instance source —
+        examples/snark.rs:55-67 pattern)."""
         from .. import SPACE_TIME_THRESHOLD
-        from ..streaming import ElasticProver, HostVector
+        from ..relation.stream import as_stream
+        from ..streaming import ElasticProver
+        from ..streaming import tensorcheck as tc_stream
 
         if threshold is None:
             threshold = SPACE_TIME_THRESHOLD
-        ck = ck_stream.ck
-
-        z_a = HostVector.from_device(r1cs.a.matvec(r1cs.z))
-        z_b = HostVector.from_device(r1cs.b.matvec(r1cs.z))
-        z_c = HostVector.from_device(r1cs.c.matvec(r1cs.z))
-        w_host = HostVector.from_device(r1cs.w)
+        rs = as_stream(r1cs)
 
         transcript = GeminiTranscript(PROTOCOL_NAME)
-        witness_commitment = ck_stream.commit(w_host)
+        witness_commitment = ck_stream.commit(rs.w)
         transcript.append_serializable(b"witness", G1Msg(witness_commitment))
         alpha = transcript.get_challenge(b"alpha")
 
-        zc_alpha = ck_stream.evaluate(z_c, alpha)
+        zc_alpha = ck_stream.evaluate(rs.z_c, alpha)
         transcript.append_serializable(b"zc(alpha)", ScalarMsg(zc_alpha))
 
         first_proof = Sumcheck.prove(
             transcript,
-            ElasticProver(z_a, z_b, alpha, block_size, threshold),
+            ElasticProver(rs.z_a, rs.z_b, alpha, block_size, threshold),
         )
 
-        b_challenges = poly.tensor_device(FR, first_proof.challenges)
-        c_challenges = poly.powers(FR, alpha, b_challenges.shape[1])
-        a_challenges = fp.mont_mul(FR, b_challenges, c_challenges)
-
         eta = transcript.get_challenge(b"eta")
-        eta2 = eta * eta % R
-        part_a = r1cs.a.rmatvec(a_challenges)
-        part_b = r1cs.b.rmatvec(b_challenges)
-        part_c = r1cs.c.rmatvec(c_challenges)
-        abc_tensored = fp.add(
-            FR,
-            part_a,
-            fp.add(
-                FR,
-                fp.mont_mul(FR, part_b, poly.scalar(FR, eta)),
-                fp.mont_mul(FR, part_c, poly.scalar(FR, eta2)),
-            ),
+        abc_host = rs.abc_tensored(
+            first_proof.challenges, alpha, eta, block_size
         )
 
         second_proof = Sumcheck.prove(
             transcript,
-            ElasticProver(
-                HostVector.from_device(abc_tensored),
-                HostVector.from_device(r1cs.z),
-                1, block_size, threshold,
-            ),
+            ElasticProver(abc_host, rs.z, 1, block_size, threshold),
         )
 
-        tensorcheck_proof = TensorcheckProof.new_time(
+        tensorcheck_proof = tc_stream.new_space(
             transcript,
-            ck,
-            [r1cs.w],
-            [((abc_tensored, r1cs.z), second_proof.challenges)],
+            ck_stream,
+            [rs.w],
+            [((abc_host, rs.z), second_proof.challenges)],
         )
         return Proof(
             witness_commitment=witness_commitment,

@@ -135,7 +135,7 @@ class SpaceProver:
         L = FR.n_limbs
         end = min(off + size, len(hv))
         if off < end:
-            raw = hv.limbs[:, off:end]
+            raw = hv.slice(off, end)
         else:
             raw = np.zeros((L, 0), dtype=np.uint32)
         pad = -(raw.shape[1]) % group

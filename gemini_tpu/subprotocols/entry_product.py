@@ -108,3 +108,48 @@ class EntryProduct:
             provers=provers,
             acc_vs=acc_vs,
         )
+
+    @staticmethod
+    def new_elastic_batch(transcript: GeminiTranscript, ck_stream,
+                          vs: Sequence, claimed_products: Sequence[int],
+                          block_size: int = 1 << 20,
+                          threshold: int | None = None) -> "EntryProduct":
+        """Streaming flavour over HostVectors
+        (entryproduct/elastic_prover.rs:68-135 `new_elastic_batch`):
+        accumulators via block-stitched suffix-product scans
+        (ProductStream analogue), commitments through bounded MSM
+        buffers, sumcheck provers elastic.  Transcript-identical to
+        `new_time_batch` (tested); `acc_vs` are HostVectors."""
+        from .. import SPACE_TIME_THRESHOLD
+        from ..streaming import ElasticProver
+        from ..streaming.ops import (
+            hv_accumulated_product, hv_evaluate, hv_monic,
+            hv_right_rotation,
+        )
+
+        if threshold is None:
+            threshold = SPACE_TIME_THRESHOLD
+        assert len(vs) == len(claimed_products)
+        monic_vs = [hv_monic(v) for v in vs]
+        rrot_vs = [hv_right_rotation(m) for m in monic_vs]
+        acc_vs = [hv_accumulated_product(m, block_size) for m in monic_vs]
+        acc_v_commitments = [ck_stream.commit(a) for a in acc_vs]
+        for cm in acc_v_commitments:
+            transcript.append_serializable(b"acc_v", G1Msg(cm))
+        chal = transcript.get_challenge(b"ep-chal")
+
+        provers = [
+            ElasticProver(acc_v, rrot_v, chal, block_size, threshold)
+            for acc_v, rrot_v in zip(acc_vs, rrot_vs)
+        ]
+        claimed_sumchecks = []
+        for cp, acc_v in zip(claimed_products, acc_vs):
+            acc_v_chal = hv_evaluate(acc_v, chal, block_size)
+            chal_n = pow(chal, len(acc_v), R)
+            claimed_sumchecks.append((acc_v_chal * chal + cp - chal_n) % R)
+        return EntryProduct(
+            msgs=ProverMsgs(acc_v_commitments, claimed_sumchecks),
+            chal=chal,
+            provers=provers,
+            acc_vs=acc_vs,
+        )

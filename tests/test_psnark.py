@@ -32,6 +32,22 @@ def test_psnark_roundtrip(setup):
     proof.verify(r1, vk, idx, jm.num_non_zero)
 
 
+def test_psnark_elastic_equals_time(setup):
+    """Whole-proof time/elastic equality, field by field for
+    debuggability (psnark/tests.rs:14-125 idiom)."""
+    import dataclasses
+
+    from gemini_tpu.streaming import CommitterKeyStream
+
+    r1, jm, ck, vk, idx = setup
+    cks = CommitterKeyStream(ck, max_msm_buffer=16)
+    pt = Proof.new_time(ck, r1, idx)
+    pe = Proof.new_elastic(cks, r1, idx, block_size=8, threshold=2)
+    for f in dataclasses.fields(Proof):
+        assert getattr(pt, f.name) == getattr(pe, f.name), f.name
+    pe.verify(r1, vk, idx, jm.num_non_zero)
+
+
 def test_psnark_rejects_tampering(setup):
     r1, jm, ck, vk, idx = setup
     proof = Proof.new_time(ck, r1, idx)
