@@ -135,12 +135,25 @@ def vanishing_polynomial_host(points: Sequence[int]) -> List[int]:
 
 
 class CommitterKey:
-    """SRS: device G1 powers of tau + host G2 powers (kzg/time.rs:24)."""
+    """SRS: device G1 powers of tau + host G2 powers (kzg/time.rs:24).
 
-    def __init__(self, powers_of_g: APoint, powers_of_g2: List, tau=None):
+    `devices`: optional device list — when set (>1), every commit MSM
+    is data-parallel across them (parallel/msm.py), the multi-chip
+    replacement for the reference's rayon-parallel `msm_bigint`."""
+
+    def __init__(self, powers_of_g: APoint, powers_of_g2: List, tau=None,
+                 devices: Optional[Sequence] = None):
         self.powers_of_g = powers_of_g
         self.powers_of_g2 = powers_of_g2
         self._tau = tau  # retained only by insecure test setups
+        self.devices = devices
+
+    def with_devices(self, devices: Sequence) -> "CommitterKey":
+        """Same SRS, commits routed across `devices`."""
+        return CommitterKey(
+            self.powers_of_g, self.powers_of_g2, tau=self._tau,
+            devices=list(devices),
+        )
 
     @classmethod
     def new(cls, max_degree: int, max_eval_points: int, seed: int = 0,
@@ -171,9 +184,17 @@ class CommitterKey:
             f"polynomial length {n} exceeds SRS size "
             f"{self.powers_of_g.x.shape[1]}"
         )
-        result = msm_mont_scalars(
-            _apoint_slice(self.powers_of_g, n), coeffs
-        )
+        if self.devices is not None and len(self.devices) > 1:
+            from ..parallel.msm import msm_multichip
+
+            result = msm_multichip(
+                _apoint_slice(self.powers_of_g, n),
+                fp.from_mont(FR, coeffs), devices=self.devices,
+            )
+        else:
+            result = msm_mont_scalars(
+                _apoint_slice(self.powers_of_g, n), coeffs
+            )
         return g1.decode_jacobian(result)[0]
 
     def batch_commit(self, polys: Sequence[jnp.ndarray]) -> List[G1Host]:

@@ -99,7 +99,17 @@ class Proof:
 
     @staticmethod
     def new_time(ck: CommitterKey, r1cs: R1cs,
-                 idx: Sequence[G1Host]) -> "Proof":
+                 idx: Sequence[G1Host], mesh=None) -> "Proof":
+        """`mesh`: optional 1-D device mesh — the two big sumchecks run
+        the sharded prover and all commit MSMs split across the mesh
+        devices (bit-identical proofs; tests/test_parallel.py)."""
+        if mesh is not None:
+            from ..parallel.sumcheck import ShardedTimeProver
+
+            ck = ck.with_devices(mesh.devices.flatten())
+            mk_prover = lambda f, g, tw: ShardedTimeProver(mesh, f, g, tw)
+        else:
+            mk_prover = TimeProver
         z_a = r1cs.a.matvec(r1cs.z)
         z_b = r1cs.b.matvec(r1cs.z)
         z_c = r1cs.c.matvec(r1cs.z)
@@ -113,7 +123,7 @@ class Proof:
         zc_alpha = poly.evaluate_le(FR, z_c, alpha)
         transcript.append_serializable(b"zc(alpha)", ScalarMsg(zc_alpha))
 
-        first_proof = Sumcheck.prove(transcript, TimeProver(z_a, z_b, alpha))
+        first_proof = Sumcheck.prove(transcript, mk_prover(z_a, z_b, alpha))
 
         b_challenges = poly.tensor_device(FR, first_proof.challenges)
         c_challenges = poly.powers(FR, alpha, b_challenges.shape[1])
@@ -153,7 +163,7 @@ class Proof:
         )
 
         second_proof = Sumcheck.prove(
-            transcript, TimeProver(z_star, r_star_val, 1)
+            transcript, mk_prover(z_star, r_star_val, 1)
         )
         second_challenges = poly.tensor_device(FR, second_proof.challenges)
         sc_head = second_challenges[:, :num_non_zero]

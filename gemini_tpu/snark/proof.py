@@ -43,8 +43,22 @@ class Proof:
     tensorcheck_proof: TensorcheckProof
 
     @staticmethod
-    def new_time(r1cs: R1cs, ck: CommitterKey) -> "Proof":
-        """Time-efficient prover (snark/time_prover.rs:19-118)."""
+    def new_time(r1cs: R1cs, ck: CommitterKey, mesh=None) -> "Proof":
+        """Time-efficient prover (snark/time_prover.rs:19-118).
+
+        `mesh`: optional 1-D `jax.sharding.Mesh` — sumchecks run the
+        sharded prover (round-message psum over ICI, shard-local folds)
+        and every commit MSM is data-parallel across the mesh devices;
+        proofs are bit-identical to the single-chip run (tested on the
+        8-virtual-device CPU mesh).  The multi-chip replacement for the
+        reference's rayon `parallel` feature (SURVEY.md §5)."""
+        if mesh is not None:
+            from ..parallel.sumcheck import ShardedTimeProver
+
+            ck = ck.with_devices(mesh.devices.flatten())
+            mk_prover = lambda f, g, tw: ShardedTimeProver(mesh, f, g, tw)
+        else:
+            mk_prover = TimeProver
         z_a = r1cs.a.matvec(r1cs.z)
         z_b = r1cs.b.matvec(r1cs.z)
         z_c = r1cs.c.matvec(r1cs.z)
@@ -58,7 +72,7 @@ class Proof:
         transcript.append_serializable(b"zc(alpha)", ScalarMsg(zc_alpha))
 
         first_proof = Sumcheck.prove(
-            transcript, TimeProver(z_a, z_b, alpha)
+            transcript, mk_prover(z_a, z_b, alpha)
         )
 
         # r_B = ⊗(1, ρ_j); r_C = powers(α); r_A = r_B ∘ r_C
@@ -88,7 +102,7 @@ class Proof:
         )
 
         second_proof = Sumcheck.prove(
-            transcript, TimeProver(abc_tensored, r1cs.z, 1)
+            transcript, mk_prover(abc_tensored, r1cs.z, 1)
         )
 
         tensorcheck_proof = TensorcheckProof.new_time(

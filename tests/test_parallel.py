@@ -36,6 +36,41 @@ def test_sharded_sumcheck_matches_dense(n):
     assert dense.final_foldings == sharded.final_foldings
 
 
+def test_snark_mesh_proof_equals_single():
+    """mesh= on the L5 time prover: 8-virtual-device proof ==
+    single-device proof (VERDICT round-1 item 7)."""
+    from gemini_tpu.kzg.commit import CommitterKey, VerifierKey
+    from gemini_tpu.relation import dummy_r1cs
+    from gemini_tpu.snark import Proof
+
+    n = 32
+    r1cs = dummy_r1cs(random.Random(4), n)
+    ck = CommitterKey.new(max_degree=n, max_eval_points=3, seed=9)
+    vk = VerifierKey.from_committer_key(ck)
+    single = Proof.new_time(r1cs, ck)
+    meshed = Proof.new_time(r1cs, ck, mesh=default_mesh(8))
+    assert single == meshed
+    meshed.verify(r1cs, vk)
+
+
+def test_psnark_mesh_proof_equals_single():
+    from gemini_tpu.kzg.commit import CommitterKey, VerifierKey
+    from gemini_tpu.psnark import Proof, index
+    from gemini_tpu.relation import random_r1cs
+    from gemini_tpu.relation.r1cs import joint_matrices
+
+    r1 = random_r1cs(random.Random(6), 8, row_nnz=2)
+    jm = joint_matrices(r1)
+    ck = CommitterKey.new(
+        max_degree=8 + jm.num_non_zero + 8, max_eval_points=3, seed=11)
+    vk = VerifierKey.from_committer_key(ck)
+    idx = index(ck, r1)
+    single = Proof.new_time(ck, r1, idx)
+    meshed = Proof.new_time(ck, r1, idx, mesh=default_mesh(8))
+    assert single == meshed
+    meshed.verify(r1, vk, idx, jm.num_non_zero)
+
+
 def test_msm_multichip_matches_single():
     """Data-parallel MSM over 8 virtual devices == single-device MSM
     == host oracle."""
