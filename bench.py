@@ -68,8 +68,9 @@ def main():
     rng = np.random.RandomState(7)
     for i in range(FR.n_limbs):
         scalars_np[i] = rng.randint(0, 1 << 16, size=n).astype(np.uint32)
-    # mask top limb so scalars < 2^255 (< R not required for a benchmark)
-    scalars_np[FR.n_limbs - 1] &= 0x7FFF
+    # mask top limb so scalars < 2^252 < R (protocol scalars are reduced
+    # Fr elements; the signed-digit recode relies on < R)
+    scalars_np[FR.n_limbs - 1] &= 0x0FFF
     scalars = jnp.asarray(scalars_np)
 
     c = os.environ.get("BENCH_WINDOW")

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Preprocessing SNARK benchmark driver (examples/psnark.rs analogue).
 
-    python examples/psnark.py -i 10
+    python examples/psnark.py -i 10               # time prover
+    python examples/psnark.py -i 10 --elastic     # space prover
 """
 
 import argparse
@@ -16,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-i", "--instance-logsize", type=int, default=8)
+    ap.add_argument("--elastic", action="store_true",
+                    help="space-efficient prover (bounded device memory)")
+    ap.add_argument("--msm-buffer-log", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if not 1 <= args.instance_logsize <= 30:
@@ -51,7 +55,14 @@ def main():
     index_t = time.time() - t0
     with MemoryWatcher() as mem:
         t0 = time.time()
-        proof = Proof.new_time(ck, r1cs, idx)
+        if args.elastic:
+            from gemini_tpu.streaming import CommitterKeyStream
+
+            cks = CommitterKeyStream(ck, 1 << args.msm_buffer_log)
+            proof = Proof.new_elastic(
+                cks, r1cs, idx, block_size=1 << args.msm_buffer_log)
+        else:
+            proof = Proof.new_time(ck, r1cs, idx)
         prove_t = time.time() - t0
     t0 = time.time()
     proof.verify(r1cs, vk, idx, jm.num_non_zero)

@@ -51,7 +51,9 @@ MASK = 0xFFFF  # Python int: in-kernel use without becoming a captured const
 
 
 def _tile() -> int:
-    return int(os.environ.get("GEMINI_TPU_PTILE", "256"))
+    # 1024 measured fastest (benches/mmprof.py: padd 150 ns/add vs 174
+    # at 256) — deeper VMEM pipelines beat smaller grid steps.
+    return int(os.environ.get("GEMINI_TPU_PTILE", "1024"))
 
 
 def _int_limbs(x: int, n: int) -> np.ndarray:
@@ -61,10 +63,15 @@ def _int_limbs(x: int, n: int) -> np.ndarray:
 # N' = -p^{-1} mod 2^384 — the separated-Montgomery reduction constant.
 _NPRIME = pow(-FQ.modulus, -1, 1 << (16 * L))
 
-_CONSTS = np.zeros((64, 128), dtype=np.uint32)
+_R384 = (1 << (16 * L)) % FQ.modulus  # Montgomery one
+_CONSTS = np.zeros((128, 128), dtype=np.uint32)
 _CONSTS[:L, :] = FQ.mod_limbs.reshape(L, 1)
 _CONSTS[L, :] = FQ.n0inv
 _CONSTS[32: 32 + L, :] = _int_limbs(_NPRIME, L).reshape(L, 1)
+_CONSTS[64: 64 + L, :] = _int_limbs(2 * FQ.modulus, L).reshape(L, 1)
+# rows 96..119: lane 0 = 1 (Montgomery), lane 1 = 12 (Montgomery).
+_CONSTS[96: 96 + L, 0] = _int_limbs(_R384, L)
+_CONSTS[96: 96 + L, 1] = _int_limbs(12 * _R384 % FQ.modulus, L)
 
 
 def _shift_up(t, d):
@@ -100,6 +107,9 @@ class _F:
         self.n0 = c[L, 0]
         self.q0 = c[0, 0]
         self.nprime = c[32: 32 + L, :1]  # (24, 1)
+        self.q2 = c[64: 64 + L, :1]  # (24, 1) rows of 2p
+        self.one_m = c[96: 96 + L, :1]  # (24, 1) Montgomery 1
+        self.twelve_m = c[96: 96 + L, 1:2]  # (24, 1) Montgomery 12
         self._q8 = None
         self._n8 = None
 
@@ -162,18 +172,24 @@ class _F:
         rows, _ = _ckla(s)
         return rows
 
-    def mm2(self, a, b):
-        """a * b * 2^-384 mod p via separated conv + one reduction.
+    def conv48(self, a, b):
+        """Relaxed 48-row product of two normalized-row operands."""
+        return self._assemble48(*self._conv(a, self._skew8(b)))
 
-        Bit-identical to `mm`; ~40% more bulk ops but ZERO serial
-        single-row dependencies (the CIOS m-chain) — on TPU the m-chain
-        latency dominates mm, so this form is the fast one."""
-        T = a.shape[1]
-        P = self._assemble48(*self._conv(a, self._skew8(b)))
+    def redc(self, P):
+        """Montgomery-reduce a relaxed 48-row value (rows < 2^23,
+        value < 2^384 * 2p): returns val * 2^-384 + (m*p)/2^384 in
+        normalized rows, < value/2^384 + p.  NO conditional subtract —
+        the relaxed-domain core keeps everything in [0, 2p)."""
+        T = P.shape[1]
         p_lo = self._norm_mod(P[:L])
+        # NB: a low-24-rows-only conv for m was tried (the upper half is
+        # unneeded) and measured SLOWER (154 vs 138 ns/add): Mosaic
+        # handles the truncated mixed-shape (24/16/8, T) multiplies
+        # worse than the uniform (32, T) form.
         m = self._norm_mod(self._assemble48(*self._conv(p_lo, self.n8(T)))[:L])
         MP = self._assemble48(*self._conv(m, self.q8(T)))
-        S = P + MP  # rows < 2^22; value = a*b + m*p ≡ 0 mod 2^384
+        S = P + MP  # rows < 2^23; value = P + m*p ≡ 0 mod 2^384
         # Exact carry-out of the low half (its normalized rows are 0).
         s_lo = (S[:L] & MASK) + _shift_up(S[:L] >> 16, 1)
         low, co_top = _ckla(s_lo)
@@ -184,7 +200,15 @@ class _F:
             [co, jnp.zeros((L - 1, T), jnp.uint32)], 0)
         s = (t & MASK) + _shift_up(t >> 16, 1)
         rows, _ = _ckla(s)
-        return self._cond_sub(rows)
+        return rows
+
+    def mm2(self, a, b):
+        """a * b * 2^-384 mod p via separated conv + one reduction.
+
+        Bit-identical to `mm`; ~40% more bulk ops but ZERO serial
+        single-row dependencies (the CIOS m-chain) — on TPU the m-chain
+        latency dominates mm, so this form is the fast one."""
+        return self._cond_sub(self.redc(self.conv48(a, b)))
 
     # -- Montgomery multiply ------------------------------------------------
 
@@ -285,6 +309,50 @@ class _F:
         rows, _ = _ckla(diff + qfix.astype(jnp.uint32))
         return rows
 
+    # -- relaxed domain [0, 2p) ---------------------------------------------
+    # The padd hot path keeps every value as a representative < 2p:
+    # Montgomery outputs skip the conditional subtract ((4p^2 +
+    # 2^384*p)/2^384 < 1.5p for operands < 2p), add/sub reduce mod 2p,
+    # and fused product-pairs share ONE reduction.  Saves ~20% of the
+    # kernel's u32 ops; callers canonicalize final outputs off-kernel.
+
+    def _cond_sub_2p(self, rows):
+        """Reduce value < 4p into [0, 2p)."""
+        diff, borrow = self._sub(rows, self.q2)
+        return jnp.where(borrow == 0, diff, rows)
+
+    def radd(self, a, b):
+        """a + b mod 2p for a, b < 2p (sum < 4p < 2^384: no carry-out)."""
+        rows, _ = _ckla(a + b)
+        return self._cond_sub_2p(rows)
+
+    def rdbl(self, a):
+        return self.radd(a, a)
+
+    def rsub(self, a, b):
+        """a - b mod 2p, in [0, 2p), for a, b < 2p."""
+        diff, borrow = self._sub(a, b)
+        qfix = jnp.where(borrow > 0, jnp.broadcast_to(self.q2, a.shape), 0)
+        rows, _ = _ckla(diff + qfix.astype(jnp.uint32))
+        return rows
+
+    def rneg(self, a):
+        """2p - a, in [0, 2p] (2p when a == 0: fine, ≡ 0 mod p)."""
+        rows, _ = self._sub(jnp.broadcast_to(self.q2, a.shape), a)
+        return rows
+
+    def rmm(self, a, b):
+        """Relaxed Montgomery multiply: operands < 2p, output < 1.5p."""
+        return self.redc(self.conv48(a, b))
+
+    def rmm_add(self, a, b, c, d):
+        """a*b + c*d (Montgomery), one shared reduction; output < 2p."""
+        return self.redc(self.conv48(a, b) + self.conv48(c, d))
+
+    def rmm_sub(self, a, b, c, d):
+        """a*b - c*d (Montgomery) via c*d's negated operand; < 2p."""
+        return self.redc(self.conv48(a, b) + self.conv48(c, self.rneg(d)))
+
 
 def _is_zero(a):
     return jnp.all(a == 0, axis=0, keepdims=True)  # (1, T)
@@ -302,31 +370,77 @@ def _mul12(F, x):
     return F.fadd(x8, x4)
 
 
+def _rmul12(F, x):
+    """12*x mod 2p (relaxed domain)."""
+    x2 = F.rdbl(x)
+    x4 = F.rdbl(x2)
+    x8 = F.rdbl(x4)
+    return F.radd(x8, x4)
+
+
 def _padd_core(F, x1, y1, z1, x2, y2, z2):
     """Complete projective addition for a=0 short-Weierstrass curves
     (Renes-Costello-Batina 2015, Algorithm 7; validated against the
-    host refimpl incl. doubling/identity/negation cases).  12 mm + 2
-    mul-by-12 + ~23 add/sub; no branches, identity = (0 : 1 : 0).
+    host refimpl incl. doubling/identity/negation cases).  No branches,
+    identity = (0 : y : 0).
 
     Complete for every point of E(Fq): BLS12-381's curve order h*r is
-    odd, so there is no 2-torsion to except."""
-    t0 = F.mm(x1, x2)
-    t1 = F.mm(y1, y2)
-    t2 = F.mm(z1, z2)
-    t3 = F.mm(F.fadd(x1, y1), F.fadd(x2, y2))
-    t3 = F.fsub(F.fsub(t3, t0), t1)  # x1y2 + x2y1
-    t4 = F.mm(F.fadd(y1, z1), F.fadd(y2, z2))
-    t4 = F.fsub(F.fsub(t4, t1), t2)  # y1z2 + y2z1
-    x3 = F.mm(F.fadd(x1, z1), F.fadd(x2, z2))
-    y3 = F.fsub(F.fsub(x3, t0), t2)  # x1z2 + x2z1
-    t0 = F.fadd(F.fdbl(t0), t0)      # 3 x1x2
-    t2 = _mul12(F, t2)               # b3 z1z2
-    z3 = F.fadd(t1, t2)
-    t1 = F.fsub(t1, t2)
-    y3 = _mul12(F, y3)               # b3 (x1z2 + x2z1)
-    x3 = F.fsub(F.mm(t3, t1), F.mm(t4, y3))
-    y3 = F.fadd(F.mm(t1, z3), F.mm(y3, t0))
-    z3 = F.fadd(F.mm(z3, t4), F.mm(t0, t3))
+    odd, so there is no 2-torsion to except.
+
+    Runs in the RELAXED domain: every value is a representative in
+    [0, 2p); Montgomery outputs skip the conditional subtract, and the
+    three final product-pair sums (x3 = t3*t1 - t4*y3 etc.) share one
+    reduction each (rmm_add/rmm_sub) — together ~20% fewer u32 ops
+    than the canonical form.  Outputs are < 2p; the pipeline
+    canonicalizes only the final window totals (ops/msm.py)."""
+    t0 = F.rmm(x1, x2)
+    t1 = F.rmm(y1, y2)
+    t2 = F.rmm(z1, z2)
+    t3 = F.rmm(F.radd(x1, y1), F.radd(x2, y2))
+    t3 = F.rsub(F.rsub(t3, t0), t1)  # x1y2 + x2y1
+    t4 = F.rmm(F.radd(y1, z1), F.radd(y2, z2))
+    t4 = F.rsub(F.rsub(t4, t1), t2)  # y1z2 + y2z1
+    x3 = F.rmm(F.radd(x1, z1), F.radd(x2, z2))
+    y3 = F.rsub(F.rsub(x3, t0), t2)  # x1z2 + x2z1
+    t0 = F.radd(F.rdbl(t0), t0)      # 3 x1x2
+    t2 = _rmul12(F, t2)              # b3 z1z2
+    z3 = F.radd(t1, t2)
+    t1 = F.rsub(t1, t2)
+    y3 = _rmul12(F, y3)              # b3 (x1z2 + x2z1)
+    x3, y3, z3 = (
+        F.rmm_sub(t3, t1, t4, y3),
+        F.rmm_add(t1, z3, y3, t0),
+        F.rmm_add(z3, t4, t0, t3),
+    )
+    return x3, y3, z3
+
+
+def _padd01_core(F, x1, y1, m1, x2, y2, m2):
+    """RCB complete add specialized to z1, z2 ∈ {0, 1}: the MSM scan's
+    level-0 operands (sorted affine points with dead lanes as
+    (0 : y : 0)).  m1/m2 are (1, T) uint32 masks (1 = live).  The three
+    z-involving products collapse to selects and the b3·z1z2 chain to a
+    constant — 9 Montgomery mults instead of 12.  Relaxed domain as
+    `_padd_core`; outputs < 2p with z3 ∈ general form."""
+    live1 = m1 > 0
+    live2 = m2 > 0
+    both = jnp.logical_and(live1, live2)
+    t0 = F.rmm(x1, x2)
+    t1 = F.rmm(y1, y2)
+    t3 = F.rmm(F.radd(x1, y1), F.radd(x2, y2))
+    t3 = F.rsub(F.rsub(t3, t0), t1)            # x1y2 + x2y1
+    t4 = F.radd(jnp.where(live2, y1, 0), jnp.where(live1, y2, 0))
+    y3 = F.radd(jnp.where(live2, x1, 0), jnp.where(live1, x2, 0))
+    t0 = F.radd(F.rdbl(t0), t0)                # 3 x1x2
+    t2 = jnp.where(both, jnp.broadcast_to(F.twelve_m, x1.shape), 0)
+    z3 = F.radd(t1, t2)
+    t1 = F.rsub(t1, t2)
+    y3 = _rmul12(F, y3)                        # b3 (x1z2 + x2z1)
+    x3, y3, z3 = (
+        F.rmm_sub(t3, t1, t4, y3),
+        F.rmm_add(t1, z3, y3, t0),
+        F.rmm_add(z3, t4, t0, t3),
+    )
     return x3, y3, z3
 
 
@@ -413,12 +527,21 @@ def _padd_kernel(k, x1, y1, z1, x2, y2, z2, ox, oy, oz):
     oz[:] = z3
 
 
+def _padd01_kernel(k, x1, y1, m1, x2, y2, m2, ox, oy, oz):
+    F = _F(k)
+    x3, y3, z3 = _padd01_core(
+        F, x1[:], y1[:], m1[:], x2[:], y2[:], m2[:])
+    ox[:] = x3
+    oy[:] = y3
+    oz[:] = z3
+
+
 def _coord_spec(tile):
     return pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
 def _const_spec():
-    return pl.BlockSpec((64, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _consts():
@@ -480,6 +603,48 @@ def _padd_call(tile, x1, y1, z1, x2, y2, z2):
         out_specs=[_coord_spec(tile)] * 3,
         out_shape=[_coord_out(npad)] * 3,
     )(_consts(), *ins)
+
+
+def _mask_spec(tile):
+    return pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _padd01_call(tile, x1, y1, m1, x2, y2, m2):
+    n = x1.shape[1]
+    npad = -(-n // tile) * tile
+    ins = [_pad_lanes(a, npad) for a in (x1, y1, m1, x2, y2, m2)]
+    return pl.pallas_call(
+        _padd01_kernel,
+        grid=(npad // tile,),
+        in_specs=[_const_spec()] + [
+            _coord_spec(tile), _coord_spec(tile), _mask_spec(tile),
+            _coord_spec(tile), _coord_spec(tile), _mask_spec(tile),
+        ],
+        out_specs=[_coord_spec(tile)] * 3,
+        out_shape=[_coord_out(npad)] * 3,
+    )(_consts(), *ins)
+
+
+def padd01(p, q):
+    """Complete projective add for operands with z ∈ {0, 1}: p, q are
+    (x, y, mask) tuples — coords (L, *batch), mask (*batch) uint32/bool
+    (1 = live, 0 = the identity (0 : y : 0)).  One fused kernel, ~25%
+    cheaper than `padd` (9 vs 12 Montgomery mults)."""
+    x1, batch = _flatten(p[0])
+    y1, _ = _flatten(p[1])
+    m1 = jnp.asarray(p[2], jnp.uint32).reshape(1, -1)
+    x2, _ = _flatten(q[0])
+    y2, _ = _flatten(q[1])
+    m2 = jnp.asarray(q[2], jnp.uint32).reshape(1, -1)
+    n = x1.shape[1]
+    ox, oy, oz = _padd01_call(_tile(), x1, y1, m1, x2, y2, m2)
+    shape = (L, *batch)
+    return (
+        ox[:, :n].reshape(shape),
+        oy[:, :n].reshape(shape),
+        oz[:, :n].reshape(shape),
+    )
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -192,3 +192,113 @@ def pallas_padd_points(a, b):
     from ..curve import pallas_g1
 
     return pallas_g1.padd(a, b)
+
+
+def pallas_padd01_points(a, b):
+    """Level-0 specialization: both operands (x, y, mask) with
+    z ∈ {0, 1} — 9 Montgomery mults instead of 12."""
+    from ..curve import pallas_g1
+
+    return pallas_g1.padd01(a, b)
+
+
+@jax.jit
+def _lift01(x, y, m):
+    """(x, y, mask) -> projective (x, y, z) with z = mask * 1_mont."""
+    live = (m > 0)[None, ...] if m.ndim == x.ndim - 1 else m > 0
+    one = FQ.ones_mont(x.shape[1:])
+    return x, y, jnp.where(live, one, jnp.zeros_like(one))
+
+
+def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None):
+    """Inclusive PREFIX sums of points at given positions only.
+
+    x, y: (L, *batch, n); mask: (*batch, n) with z ∈ {0, 1} per lane
+    (1 = live, 0 = identity (0 : y : 0)); pos: (*batch, m) int32 in
+    [-1, n-1] (-1 ⇒ identity).  Returns (x, y, z) of shape
+    (L, *batch, m) where out[..., j] = Σ_{i ≤ pos[j]} P_i.
+
+    The MSM bucket phase needs suffix sums at only 2^(c-1) boundary
+    positions, not everywhere: a full scan costs 2n adds, while this
+    costs n (reduce chain) + 2s (full scan at the stop level s ≈ m)
+    + m per level (walk-down fix-ups) ≈ n + m·log2(n/m) — ~35% fewer
+    adds at n = 2^20, m = 2^16.  Level 0 reduces with the cheaper
+    z∈{0,1} kernel.
+
+    Walk-down identity: with reduced[k] = P[2k] ⊕ P[2k+1],
+      S(p) = S_reduced((p-1)>>1) ⊕ (P[p] if p even else identity),
+    and (p-1)>>1 maps -1 to -1 (arithmetic shift), so out-of-range
+    stays out-of-range up the chain.
+    """
+    if combiner is None:
+        combiner = pallas_padd_points
+    if combiner01 is None:
+        combiner01 = pallas_padd01_points
+    n = x.shape[-1]
+    assert n & (n - 1) == 0
+    m = pos.shape[-1]
+    s_stop = 1
+    while s_stop < m and s_stop < n:
+        s_stop *= 2
+
+    # Reduce chain (keeping each level for the walk-down).
+    levels = []  # (x, y, z-or-mask, is01)
+    cx, cy, cz = x, y, mask
+    is01 = True
+    while cx.shape[-1] > s_stop:
+        levels.append((cx, cy, cz, is01))
+        ex, ox_ = cx[..., 0::2], cx[..., 1::2]
+        ey, oy_ = cy[..., 0::2], cy[..., 1::2]
+        ez, oz_ = cz[..., 0::2], cz[..., 1::2]
+        if is01:
+            cx, cy, cz = combiner01((ex, ey, ez), (ox_, oy_, oz_))
+        else:
+            cx, cy, cz = combiner((ex, ey, ez), (ox_, oy_, oz_))
+        is01 = False
+
+    # Full inclusive prefix scan at the stop level.
+    if is01:
+        cx, cy, cz = _lift01(cx, cy, cz)
+    sx, sy, sz = inclusive_scan_ec((cx, cy, cz), combiner=combiner)
+
+    # Positions per level.
+    poss = [pos]
+    for _ in levels:
+        poss.append((poss[-1] - 1) >> 1)
+
+    # Advanced-indexing gather (same lowering family as the original
+    # boundary gather): a (L, *batch, n)[:, w, idx[w]] -> (L, *batch, m).
+    batch_shape = pos.shape[:-1]
+
+    def gather_last(a, idx):
+        if not batch_shape:
+            return a[:, idx]
+        assert len(batch_shape) == 1
+        warr = jnp.arange(batch_shape[0])[:, None]
+        return a[:, warr, idx]
+
+    top = poss[-1]
+    topc = jnp.maximum(top, 0)
+    live = top >= 0
+    rx = jnp.where(live, gather_last(sx, topc), 0)
+    ry = jnp.where(live, gather_last(sy, topc), FQ.ones_mont(top.shape))
+    rz = jnp.where(live, gather_last(sz, topc), 0)
+
+    # Walk down: add P_level[p] where p is even and the lane is live.
+    one = FQ.ones_mont(pos.shape)
+    for (lx, ly, lz, l01), p in zip(reversed(levels), reversed(poss[:-1])):
+        pc = jnp.maximum(p, 0)
+        even = jnp.logical_and(p >= 0, p % 2 == 0)
+        gxv = gather_last(lx, pc)
+        gyv = gather_last(ly, pc)
+        if l01:
+            if batch_shape:
+                gl = lz[jnp.arange(batch_shape[0])[:, None], pc]
+            else:
+                gl = lz[pc]
+            gzv = jnp.where(jnp.logical_and(gl, even)[None], one, 0)
+        else:
+            gzv = jnp.where(even[None], gather_last(lz, pc), 0)
+        opx = jnp.where(even[None], gxv, 0)
+        rx, ry, rz = combiner((rx, ry, rz), (opx, gyv, gzv))
+    return rx, ry, rz

@@ -10,21 +10,26 @@ threshold-suffix identity instead:
 
 With points sorted by digit, each inner sum is one entry of the
 suffix-sum array, so per window the bucket phase is one plain-add
-suffix scan over sorted points (~2N complete Jacobian adds) + a
-2^c-entry gather + a tree reduction — no segment flags, no scatter.
+suffix scan over sorted points (~2N complete adds) + a boundary
+gather + a tree reduction — no segment flags, no scatter.
+
+Digits are SIGNED (magnitude ≤ 2^(c-1), negative digits negate the
+point during the sort — one conditional y -> p-y pass), which cuts
+the window count for the same bucket cost (c=17: 15 windows vs 16).
 
 Orchestration (see ops/ec_scan.py for the compile-cost rationale):
-windows are processed in chunks of WINDOW_CHUNK as a batch axis; the
-scan/reduction phases are top-level dispatches reusing ONE compiled
-tiled-add kernel; the final Horner combine
+windows are processed in chunks chosen by `plan_window` as a batch
+axis; on TPU the suffix scan runs fused Pallas RCB kernels (level 0
+uses the cheaper z∈{0,1} specialization, curve/pallas_g1.py); the
+final Horner combine
 
     result = sum_w 2^(c*w) T_w
 
-runs as a single 255-step `fori_loop` kernel of flat double+add
-(batch-1 EC ops use the fused flat formulas, curve/g1.py SMALL_BATCH).
+runs on the HOST over the O(W) window totals.
 
-Scalars enter in canonical (non-Montgomery) limb form; points as
-affine with infinity masks.
+Scalars enter in canonical (non-Montgomery) limb form, REDUCED (< R —
+the signed recode needs top-window carry headroom); points as affine
+with infinity masks.
 """
 
 from __future__ import annotations
@@ -44,27 +49,50 @@ from . import scan as scan_util
 
 LIMB_BITS = fp.LIMB_BITS
 
-# Windows per batch: bounds peak memory (suffix scan holds ~6x
-# (L, Wc, N) uint32 live: ~2.4 GB at Wc=4, N=2^20).
-WINDOW_CHUNK = 4
+from ..params import R as _R_FR
+
+
+def plan_window(n: int, n_bits: int = 255):
+    """Pick (window size c, windows-per-chunk Wc) minimizing the
+    pipeline's add count with SIGNED digits: W = ceil(n_bits/c) windows
+    of magnitude ≤ 2^(c-1) (negative digits negate the point — free in
+    the sort phase), so the bucket reduce is half the unsigned size and
+    the top window must absorb the recode carry (checked against R).
+
+    Cost per window (ec_scan.prefix_sums_at with m = 2^(c-1) boundary
+    positions): n reduce-chain adds + 2m stop-level scan + m walk-down
+    fix-ups per level + m bucket tree-reduce.  Chunk padding is real
+    work (padded windows still scan), so the plan prefers Wc | W.
+    Memory: the pipeline holds ~6 coordinate arrays of (L, Wc, n) —
+    Wc is capped so that stays a few GB at n = 2^20.  Computed per
+    padded bucket size: one compiled pipeline per bucket.
+    """
+    import math
+
+    if n <= 32:
+        return 3, 4
+    best = None
+    for c in range(4, 21):
+        w = -(-n_bits // c)
+        if (_R_FR >> (c * (w - 1))) + 1 > (1 << (c - 1)):
+            continue  # top window could overflow under recode carry
+        m = 1 << (c - 1)
+        levels = max(0, int(math.log2(max(n // max(m, 1), 1))))
+        per_window = n + 2 * m + m * levels + m
+        for wc in (1, 2, 3, 4, 5):
+            if wc > 1 and wc * n > 5 << 20:
+                continue
+            chunks = -(-w // wc)
+            cost = chunks * wc * per_window
+            if best is None or cost < best[0]:
+                best = (cost, c, wc)
+    if best is None:  # tiny n with huge windows filtered out
+        return 8, 4
+    return best[1], best[2]
 
 
 def default_window(n: int, n_bits: int = 255) -> int:
-    """Pick the window size c minimizing the pipeline's add count.
-
-    Per window-chunk the suffix scan costs ~2·Wc·n adds and the bucket
-    tree-reduce ~2·Wc·2^c, and chunks = ceil(W / Wc) with
-    W = ceil(n_bits / c) — so minimize ceil(W/Wc)·(n + 2^c).  Computed
-    per padded bucket size, so each bucket compiles one pipeline."""
-    if n <= 32:
-        return 3
-    best_c, best_cost = 3, float("inf")
-    for c in range(4, 21):
-        w = -(-n_bits // c)
-        cost = -(-w // WINDOW_CHUNK) * (n + (1 << c))
-        if cost < best_cost:
-            best_c, best_cost = c, cost
-    return best_c
+    return plan_window(n, n_bits)[0]
 
 
 def extract_digits(scalars: jnp.ndarray, c: int, n_bits: int = 255):
@@ -85,51 +113,29 @@ def extract_digits(scalars: jnp.ndarray, c: int, n_bits: int = 255):
     return jnp.stack(digits, axis=0)
 
 
-@jax.jit
-def _sort_gather(px, py, pinf, digits):
-    """Sort each window's points by digit.
+@partial(jax.jit, static_argnums=(1, 2))
+def extract_signed_digits(scalars, c: int, n_bits: int = 255):
+    """(L, N) canonical limbs (< R) -> signed window digits:
+    (mags (W, N) uint32 in [0, 2^(c-1)], negs (W, N) bool).
 
-    px/py: (L, N); pinf: (N,); digits: (Wc, N).
-    Returns gx, gy, gz (L, Wc, N) Jacobian coords (z = 0 for infinity
-    or digit-0 points) and sd (Wc, N) sorted digits.
-    """
-    Wc, n = digits.shape
-    order = jnp.argsort(digits, axis=1)
-    sd = jnp.take_along_axis(digits, order, axis=1)
-    gx = px[:, order]
-    gy = py[:, order]
-    ginf = pinf[order]
-    z_one = FQ.ones_mont((Wc, n))
-    gz = fp.select(ginf, FQ.zeros((Wc, n)), z_one)
-    gz = fp.select(sd == 0, FQ.zeros((Wc, n)), gz)
-    return gx, gy, gz, sd
-
-
-@partial(jax.jit, static_argnums=(4,))
-def _gather_boundaries(sx, sy, sz, sd, c: int):
-    """Suffix sums at threshold boundaries: entry k-1 holds
-    sum_{d_i >= k} P_i for k = 1..2^c-1, padded to 2^c with infinity."""
-    Wc, n = sd.shape
-    n_buckets = 1 << c
-    # append empty-suffix (infinity) at index n
-    inf_col = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
-    sx = jnp.concatenate([sx, inf_col], axis=2)
-    sy = jnp.concatenate([sy, inf_col], axis=2)
-    sz = jnp.concatenate([sz, inf_col], axis=2)
-    ks = jnp.arange(1, n_buckets, dtype=jnp.uint32)
-    boundaries = jax.vmap(
-        lambda row: jnp.searchsorted(row, ks, side="left")
-    )(sd)  # (Wc, 2^c - 1)
-    warr = jnp.arange(Wc)[:, None]
-    bx = sx[:, warr, boundaries]
-    by = sy[:, warr, boundaries]
-    bz = sz[:, warr, boundaries]
-    inf1 = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
-    return (
-        jnp.concatenate([bx, inf1], axis=2),
-        jnp.concatenate([by, inf1], axis=2),
-        jnp.concatenate([bz, inf1], axis=2),
-    )
+    Standard signed recode: d' = raw + carry; if d' > 2^(c-1) emit
+    d' - 2^c (negative) and carry 1.  Negative digits cost nothing —
+    the point is negated (y -> p - y) during the sort phase.  The top
+    window absorbs the final carry without overflow because scalars
+    are < R (checked statically by plan_window)."""
+    raw = extract_digits(scalars, c, n_bits)
+    w_count = raw.shape[0]
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    mags, negs = [], []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(w_count):
+        d = raw[w] + carry
+        neg = d > half
+        mags.append(jnp.where(neg, full - d, d))
+        negs.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(mags, axis=0), jnp.stack(negs, axis=0)
 
 
 def _horner_host(totals_jac, c: int) -> JPoint:
@@ -158,59 +164,41 @@ def _horner_host(totals_jac, c: int) -> JPoint:
 
 
 @jax.jit
-def _sort_gather_proj(px, py, pinf, digits):
-    """Sort each window's points by digit, emitting PROJECTIVE coords
-    for the RCB pipeline: dead lanes (infinity or digit 0) become the
-    identity (0 : y : 0) with y nonzero (projective scaling makes any
-    nonzero y valid)."""
-    Wc, n = digits.shape
-    order = jnp.argsort(digits, axis=1)
-    sd = jnp.take_along_axis(digits, order, axis=1)
+def _sort_gather_proj(px, py, pinf, mags, negs):
+    """Sort each window's points by digit magnitude, emitting
+    (x, y, mask) for the RCB padd01 level-0 kernel: dead lanes
+    (infinity or digit 0) become the identity (0 : y : 0) with y
+    nonzero (projective scaling makes any nonzero y valid); negative
+    digits negate y."""
+    Wc, n = mags.shape
+    order = jnp.argsort(mags, axis=1)
+    sd = jnp.take_along_axis(mags, order, axis=1)
+    sneg = jnp.take_along_axis(negs, order, axis=1)
     gx = px[:, order]
     gy = py[:, order]
     ginf = pinf[order]
     one = FQ.ones_mont((Wc, n))
     dead = jnp.logical_or(ginf, sd == 0)
     x = fp.select(dead, FQ.zeros((Wc, n)), gx)
-    y = fp.select(ginf, one, gy)
-    z = fp.select(dead, FQ.zeros((Wc, n)), one)
-    return x, y, z, sd
-
-
-@partial(jax.jit, static_argnums=(4,))
-def _gather_boundaries_proj(sx, sy, sz, sd, c: int):
-    """Suffix sums at threshold boundaries (projective): empty-suffix
-    padding is the identity (0 : 1 : 0)."""
-    Wc, n = sd.shape
-    n_buckets = 1 << c
-    zero_col = jnp.zeros((FQ.n_limbs, Wc, 1), jnp.uint32)
-    one_col = FQ.ones_mont((Wc, 1))
-    sx = jnp.concatenate([sx, zero_col], axis=2)
-    sy = jnp.concatenate([sy, one_col], axis=2)
-    sz = jnp.concatenate([sz, zero_col], axis=2)
-    ks = jnp.arange(1, n_buckets, dtype=jnp.uint32)
-    boundaries = jax.vmap(
-        lambda row: jnp.searchsorted(row, ks, side="left")
-    )(sd)
-    warr = jnp.arange(Wc)[:, None]
-    bx = sx[:, warr, boundaries]
-    by = sy[:, warr, boundaries]
-    bz = sz[:, warr, boundaries]
-    return (
-        jnp.concatenate([bx, zero_col], axis=2),
-        jnp.concatenate([by, one_col], axis=2),
-        jnp.concatenate([bz, zero_col], axis=2),
-    )
+    y = fp.select(sneg, fp.neg(FQ, gy), gy)
+    y = fp.select(ginf, one, y)
+    mask = jnp.logical_not(dead)
+    return x, y, mask, sd
 
 
 @jax.jit
 def _proj_to_jacobian(x, y, z):
     """(X : Y : Z) -> Jacobian (XZ, YZ^2, Z) (agree whenever Z != 0;
-    both encode infinity as Z == 0)."""
+    both encode infinity as Z == 0).
+
+    Inputs arrive RELAXED (< 2p) from the Pallas padd pipeline; the
+    mont_muls canonicalize x/y products and the explicit add-zero
+    canonicalizes z (O(W) lanes — negligible)."""
     xz = fp.mont_mul(FQ, x, z)
     z2 = fp.mont_mul(FQ, z, z)
     yz2 = fp.mont_mul(FQ, y, z2)
-    return xz, yz2, z
+    z_canon = fp.add(FQ, z, jnp.zeros_like(z))
+    return xz, yz2, z_canon
 
 
 def _use_proj() -> bool:
@@ -226,27 +214,47 @@ def _use_proj() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _window_chunk(px, py, pinf, chunk, c: int, use_proj: bool):
+def _boundary_positions(sd, c: int):
+    """Flipped-prefix positions of the signed-digit bucket boundaries:
+    suffix_{mag >= k} in sorted order == prefix up to n-1-searchsorted(k)
+    in FLIPPED order, for k = 1..2^(c-1); -1 = empty (identity)."""
+    Wc, n = sd.shape
+    ks = jnp.arange(1, (1 << (c - 1)) + 1, dtype=jnp.uint32)
+    b = jax.vmap(lambda row: jnp.searchsorted(row, ks, side="left"))(sd)
+    return (n - 1) - b.astype(jnp.int32)  # (Wc, 2^(c-1)) in [-1, n-1]
+
+
+def _tape_padd01(a, b):
+    """z∈{0,1} level-0 combiner for the CPU/tape path: lift masks to
+    Jacobian z and use the shared tiled add (z∈{0,1} is valid in both
+    Jacobian and projective coordinates, so the sort/walk-down logic
+    is shared across backends and covered by the CPU tests)."""
+    return ec_scan.add_points(ec_scan._lift01(*a), ec_scan._lift01(*b))
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _window_chunk(px, py, pinf, mags, negs, c: int, use_proj: bool):
     """One window-chunk of the Pippenger pipeline as a SINGLE jitted
-    computation: sort-by-digit, suffix scan, boundary gather, bucket
-    tree-reduce.  Fusing the whole chunk keeps the scan's glue ops
-    (splits/concats/interleaves) out of the per-op dispatch path — at
-    2^20 the unfused pipeline was ~10^3 tunnel dispatches per MSM and
-    dispatch-bound, not compute-bound."""
+    computation: sort-by-magnitude (negating negative digits), then
+    positional prefix sums at the 2^(c-1) bucket boundaries
+    (ec_scan.prefix_sums_at — ~35% fewer adds than a full suffix
+    scan), then the bucket tree-reduce.  Fusing the whole chunk keeps
+    the glue ops out of the per-op dispatch path — at 2^20 the unfused
+    pipeline was ~10^3 tunnel dispatches per MSM and dispatch-bound,
+    not compute-bound."""
     if use_proj:
         combiner = ec_scan.pallas_padd_points
-        gx, gy, gz, sd = _sort_gather_proj(px, py, pinf, chunk)
-        suffix = ec_scan.inclusive_scan_ec(
-            (gx, gy, gz), reverse=True, combiner=combiner
-        )
-        bx, by, bz = _gather_boundaries_proj(*suffix, sd, c)
-        x, y, z = ec_scan.tree_reduce((bx, by, bz), combiner=combiner)
+        combiner01 = ec_scan.pallas_padd01_points
     else:
-        gx, gy, gz, sd = _sort_gather(px, py, pinf, chunk)
-        suffix = ec_scan.inclusive_scan_ec((gx, gy, gz), reverse=True)
-        bx, by, bz = _gather_boundaries(*suffix, sd, c)
-        x, y, z = ec_scan.tree_reduce((bx, by, bz))
+        combiner = ec_scan.add_points
+        combiner01 = _tape_padd01
+    gx, gy, mask, sd = _sort_gather_proj(px, py, pinf, mags, negs)
+    pos = _boundary_positions(sd, c)
+    fx, fy, fm = gx[..., ::-1], gy[..., ::-1], mask[..., ::-1]
+    bx, by, bz = ec_scan.prefix_sums_at(
+        fx, fy, fm, pos, combiner=combiner, combiner01=combiner01
+    )
+    x, y, z = ec_scan.tree_reduce((bx, by, bz), combiner=combiner)
     return x[..., 0], y[..., 0], z[..., 0]
 
 
@@ -255,18 +263,22 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
     """MSM over G1: sum_i scalars[i] * points[i].
 
     points: APoint batch (N,); scalars: (FR_LIMBS, N) canonical
-    (non-Montgomery) limbs.  Returns a JPoint with batch shape (1,).
+    (non-Montgomery) limbs, each < R (the signed-digit recode relies
+    on the top window having carry headroom — every protocol scalar is
+    a reduced Fr element).  Returns a JPoint with batch shape (1,).
     """
     n = points.x.shape[1]
     # Pad to a power-of-4 shape bucket with (infinity, 0) pairs — a
     # mathematical no-op that keeps every scan level at a power-of-two
     # shape AND collapses the distinct compiled pipelines across all
     # commit sizes in a proof to O(log4 N) (PERF.md roadmap 6).  The
-    # window size is derived from the bucket so each bucket compiles
+    # window plan is derived from the bucket so each bucket compiles
     # exactly one digit/horner pipeline.
     npad = scan_util.bucket4(n, floor=256)
+    wc_plan = plan_window(npad, n_bits)
+    window_chunk = wc_plan[1]
     if c is None:
-        c = default_window(npad)
+        c = wc_plan[0]
     if npad != n:
         pad = npad - n
         points = APoint(
@@ -279,19 +291,22 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], axis=1
         )
-    digits = extract_digits(scalars, c, n_bits)
-    W = digits.shape[0]
+    mags, negs = extract_signed_digits(scalars, c, n_bits)
+    W = mags.shape[0]
     use_proj = _use_proj()
     tx, ty, tz = [], [], []
-    for w0 in range(0, W, WINDOW_CHUNK):
-        chunk = digits[w0: w0 + WINDOW_CHUNK]
-        if chunk.shape[0] < WINDOW_CHUNK:  # keep one compiled shape
+    for w0 in range(0, W, window_chunk):
+        mchunk = mags[w0: w0 + window_chunk]
+        nchunk = negs[w0: w0 + window_chunk]
+        if mchunk.shape[0] < window_chunk:  # keep one compiled shape
             fill = jnp.zeros(
-                (WINDOW_CHUNK - chunk.shape[0], chunk.shape[1]), jnp.uint32
+                (window_chunk - mchunk.shape[0], mchunk.shape[1]), jnp.uint32
             )
-            chunk = jnp.concatenate([chunk, fill], axis=0)
+            mchunk = jnp.concatenate([mchunk, fill], axis=0)
+            nchunk = jnp.concatenate(
+                [nchunk, fill.astype(bool)], axis=0)
         x, y, z = _window_chunk(
-            points.x, points.y, points.inf, chunk, c, use_proj
+            points.x, points.y, points.inf, mchunk, nchunk, c, use_proj
         )
         tx.append(x)
         ty.append(y)

@@ -114,6 +114,17 @@ def _round_message_kernel(f, g, t_pow, twist):
     )
 
 
+@partial(jax.jit, static_argnums=(6,))
+def _fused_round_kernel(f, g, t_pow, r, r_twist, twist_next, b_out: int):
+    """Fold + next round message as ONE dispatch (the per-round
+    Fiat-Shamir hot path: one kernel down, one (2, L+2) readback up —
+    VERDICT round-1 item 10; the ~9 ms tunnel round trip dominated
+    2^20 sumchecks when fold and message were separate transfers)."""
+    f2, g2, t2 = _fold_kernel(f, g, t_pow, r, r_twist, b_out)
+    a, b = _round_message_kernel(f2, g2, t2, twist_next)
+    return f2, g2, t2, jnp.stack([a, b])
+
+
 @partial(jax.jit, static_argnums=(5,))
 def _fold_kernel(f, g, t_pow, r, r_twist, b_out: int):
     """Fold f, g and subsample the twist powers, re-quantizing the
@@ -167,17 +178,47 @@ class TimeProver:
             )
         self.twist = self.twist * self.twist % R
 
-    def next_message(self, challenge: Optional[int]):
+    def round_arrays(self, challenge: Optional[int]):
+        """Advance one round, returning the round message as a DEVICE
+        (2, L+2) relaxed-limb array (None when rounds are exhausted).
+        Callers that batch many provers read all messages back in one
+        transfer (Sumcheck.prove_batch); `next_message` decodes inline.
+        Fold + message run as one fused dispatch."""
         if challenge is not None:
-            self.fold(challenge)
+            if self.n > 1 and self.round < self.tot_rounds:
+                r_twist = poly.scalar(FR, challenge * self.twist % R)
+                twist_next = self.twist * self.twist % R
+                self.n //= 2
+                self.f, self.g, self.t_pow, ab = _fused_round_kernel(
+                    self.f, self.g, self.t_pow,
+                    poly.scalar(FR, challenge), r_twist,
+                    poly.scalar(FR, twist_next),
+                    scan_util.bucket4(self.n),
+                )
+                self.twist = twist_next
+                self.round += 1
+                return ab
+            self.fold(challenge)  # terminal fold (no message follows)
         if self.round == self.tot_rounds:
             return None
         tw = poly.scalar(FR, self.twist)
         a, b = _round_message_kernel(self.f, self.g, self.t_pow, tw)
-        a_int = FR.decode_relaxed(np.asarray(a)[:, None])[0]
-        b_int = FR.decode_relaxed(np.asarray(b)[:, None])[0]
         self.round += 1
-        return (a_int, b_int)
+        return jnp.stack([a, b])
+
+    @staticmethod
+    def decode_msg(ab) -> Tuple[int, int]:
+        arr = np.asarray(ab)
+        return (
+            FR.decode_relaxed(arr[0][:, None])[0],
+            FR.decode_relaxed(arr[1][:, None])[0],
+        )
+
+    def next_message(self, challenge: Optional[int]):
+        ab = self.round_arrays(challenge)
+        if ab is None:
+            return None
+        return TimeProver.decode_msg(ab)
 
     def final_foldings(self) -> Optional[Tuple[int, int]]:
         if self.round != self.tot_rounds:
@@ -240,9 +281,26 @@ class Sumcheck:
         challenges: List[int] = []
         verifier_message = None
         for _ in range(rounds):
+            # Dispatch every prover's fused round first, then read all
+            # messages back in ONE transfer — per-prover readbacks cost
+            # a tunnel round trip each (13 provers in psnark sumcheck 3).
+            raw: List = []
+            for p in provers:
+                if hasattr(p, "round_arrays"):
+                    raw.append(p.round_arrays(verifier_message))
+                else:
+                    raw.append(p.next_message(verifier_message))
+            dev_idx = [i for i, r in enumerate(raw)
+                       if isinstance(r, jax.Array)]
+            if dev_idx:
+                got = jax.device_get([raw[i] for i in dev_idx])
+                for i, arr in zip(dev_idx, got):
+                    raw[i] = (
+                        FR.decode_relaxed(np.asarray(arr[0])[:, None])[0],
+                        FR.decode_relaxed(np.asarray(arr[1])[:, None])[0],
+                    )
             msg_a, msg_b = 0, 0
-            for p, c in zip(provers, coefficients):
-                m = p.next_message(verifier_message)
+            for p, c, m in zip(provers, coefficients, raw):
                 if m is None:
                     ff = p.final_foldings()
                     m = (ff[0] * ff[1] % R, 0)
