@@ -13,6 +13,11 @@ from __future__ import annotations
 
 from typing import List
 
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fp
+from ..fields.fp import FR
 from ..params import R
 from ..streaming.host import HostVector, VirtualHostVector
 from .r1cs import R1cs
@@ -131,6 +136,145 @@ class DummyR1csStream:
             return np.asarray(comb)
 
         return VirtualHostVector(self.n, fn)
+
+
+class HostR1csStream:
+    """Host-RAM sparse relation: COO triples and z live in host memory;
+    every device interaction is a bounded block.  The TPU reformulation
+    of the reference's Iterable-backed `R1csStream` + `MatrixTensor`
+    (circuit.rs:26-40, snark/streams.rs:11-103): where the reference
+    re-streams col-major matrices against partially-expanded tensors,
+    blocks of COO triples visit the device, multiply against tensor/
+    power values generated AT their row indices (streaming/ops
+    tensor_at/powers_at — log(n) masked multiplies each), and
+    segment-sum into per-matrix host outputs.
+
+    Use for relations beyond HBM but within host RAM; the elastic
+    SNARK consumes it through the same interface as `DenseR1csStream`.
+    """
+
+    def __init__(self, a, b, c, z_limbs: np.ndarray, x_int: List[int],
+                 block_size: int = 1 << 20):
+        """a, b, c: (n_rows, n_cols, rows, cols, vals_limbs) host COO
+        tuples, rows/cols int64 numpy, vals (L, nnz) uint32 Montgomery."""
+        self._mats = [a, b, c]
+        self.block_size = block_size
+        self.z = HostVector(z_limbs)
+        self.x_int = list(x_int)
+        self.w = HostVector(
+            np.ascontiguousarray(z_limbs[:, len(x_int):]))
+        self.z_a = self._matvec(a)
+        self.z_b = self._matvec(b)
+        self.z_c = self._matvec(c)
+
+    @classmethod
+    def from_r1cs(cls, r1cs: R1cs,
+                  block_size: int = 1 << 20) -> "HostR1csStream":
+        def coo(m):
+            return (m.n_rows, m.n_cols,
+                    m.rows.astype(np.int64), m.cols.astype(np.int64),
+                    np.asarray(m.vals))
+
+        from ..fields.fp import FR
+
+        return cls(coo(r1cs.a), coo(r1cs.b), coo(r1cs.c),
+                   np.asarray(FR.encode(r1cs.z_int)), r1cs.x_int,
+                   block_size)
+
+    @staticmethod
+    def _row_aligned_cuts(keys: np.ndarray, block: int) -> List[int]:
+        """nnz cut points ~block apart, moved back to key boundaries so
+        no segment spans two blocks."""
+        cuts = [0]
+        nnz = len(keys)
+        while cuts[-1] < nnz:
+            t = min(cuts[-1] + block, nnz)
+            if t < nnz:
+                t = int(np.searchsorted(keys, keys[t], side="left"))
+                if t <= cuts[-1]:  # one giant segment: take it whole
+                    t = int(np.searchsorted(keys, keys[t], side="right"))
+            cuts.append(t)
+        return cuts
+
+    def _matvec(self, m) -> HostVector:
+        """M z blockwise: host-gather z at the block's columns, device
+        Montgomery products + segment sum, write back per row range."""
+        from ..ops import scan as scan_util
+        from ..ops.sparse import segment_sum_field
+
+        n_rows, n_cols, rows, cols, vals = m
+        L = FR.n_limbs
+        out = np.zeros((L, n_rows), dtype=np.uint32)
+        cuts = self._row_aligned_cuts(rows, self.block_size)
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            r_lo, r_hi = int(rows[lo]), int(rows[hi - 1]) + 1
+            span = r_hi - r_lo
+            npad = scan_util.bucket4(hi - lo, floor=256)
+            spad = scan_util.bucket4(span, floor=256)
+            seg = np.full((npad,), spad - 1, dtype=np.int32)
+            seg[: hi - lo] = rows[lo:hi] - r_lo
+            v = np.zeros((L, npad), dtype=np.uint32)
+            v[:, : hi - lo] = vals[:, lo:hi]
+            zg = np.zeros((L, npad), dtype=np.uint32)
+            zg[:, : hi - lo] = self.z.limbs[:, cols[lo:hi]]
+            prods = fp.mont_mul(FR, jnp.asarray(v), jnp.asarray(zg))
+            sums = segment_sum_field(FR, prods, jnp.asarray(seg), spad)
+            out[:, r_lo:r_hi] = np.asarray(sums[:, :span])
+        return HostVector(out)
+
+    def abc_tensored(self, challenges: List[int], alpha: int, eta: int,
+                     block_size: int) -> HostVector:
+        """A^T r_a + η B^T r_b + η² C^T r_c, blockwise: per matrix, COO
+        blocks sorted col-major multiply against r values generated at
+        their row indices and segment-sum by column; the three host
+        outputs combine with one streaming lincomb."""
+        from ..ops import scan as scan_util
+        from ..ops.sparse import segment_sum_field
+        from ..streaming.ops import hv_lincomb, powers_at, tensor_at
+
+        eta2 = eta * eta % R
+        k = len(challenges)
+        L = FR.n_limbs
+
+        def rvals(kind, idx):
+            if kind == "b":
+                return tensor_at(challenges, idx)
+            if kind == "c":
+                return powers_at(alpha, idx, max(k, 1))
+            return fp.mont_mul(
+                FR, tensor_at(challenges, idx),
+                powers_at(alpha, idx, max(k, 1)),
+            )
+
+        outs = []
+        for m, kind in zip(self._mats, ("a", "b", "c")):
+            n_rows, n_cols, rows, cols, vals = m
+            order = np.argsort(cols, kind="stable")
+            rs, cs = rows[order], cols[order]
+            vs = vals[:, order]
+            out = np.zeros((L, n_cols), dtype=np.uint32)
+            cuts = self._row_aligned_cuts(cs, block_size)
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                c_lo, c_hi = int(cs[lo]), int(cs[hi - 1]) + 1
+                span = c_hi - c_lo
+                npad = scan_util.bucket4(hi - lo, floor=256)
+                spad = scan_util.bucket4(span, floor=256)
+                seg = np.full((npad,), spad - 1, dtype=np.int32)
+                seg[: hi - lo] = cs[lo:hi] - c_lo
+                v = np.zeros((L, npad), dtype=np.uint32)
+                v[:, : hi - lo] = vs[:, lo:hi]
+                ridx = np.zeros((npad,), dtype=np.int64)
+                ridx[: hi - lo] = rs[lo:hi]
+                rv = rvals(kind, ridx)
+                # zero the padding lanes so they contribute nothing
+                live = np.zeros((npad,), dtype=bool)
+                live[: hi - lo] = True
+                rv = jnp.where(jnp.asarray(live)[None, :], rv, 0)
+                prods = fp.mont_mul(FR, jnp.asarray(v), rv)
+                sums = segment_sum_field(FR, prods, jnp.asarray(seg), spad)
+                out[:, c_lo:c_hi] = np.asarray(sums[:, :span])
+            outs.append(HostVector(out))
+        return hv_lincomb(outs, [1, eta, eta2], block_size)
 
 
 def as_stream(r1cs):

@@ -180,6 +180,34 @@ def tensor_block(challenges: Sequence[int], start: int,
     return np.asarray(out)
 
 
+def tensor_at(challenges: Sequence[int], idx: np.ndarray) -> jnp.ndarray:
+    """⊗-expansion values at arbitrary indices: t[idx] =
+    prod_l rho_l^{bit_l(idx)} via log(n) masked device multiplies
+    (the random-access form of tensor_stream.rs:49-90).  Returns a
+    DEVICE (L, len(idx)) Montgomery array."""
+    idx = np.asarray(idx, dtype=np.int64)
+    out = FR.ones_mont((len(idx),))
+    for l, ch in enumerate(challenges):
+        bit = jnp.asarray(((idx >> l) & 1).astype(np.uint32))
+        mul = fp.mont_mul(FR, out, poly.scalar(FR, ch))
+        out = jnp.where(bit[None, :] == 1, mul, out)
+    return out
+
+
+def powers_at(x: int, idx: np.ndarray, n_bits: int) -> jnp.ndarray:
+    """x^idx at arbitrary indices via the bit decomposition of idx
+    with host-precomputed x^(2^l).  DEVICE (L, len(idx)) Montgomery."""
+    idx = np.asarray(idx, dtype=np.int64)
+    out = FR.ones_mont((len(idx),))
+    sq = x % R
+    for l in range(n_bits):
+        bit = jnp.asarray(((idx >> l) & 1).astype(np.uint32))
+        mul = fp.mont_mul(FR, out, poly.scalar(FR, sq))
+        out = jnp.where(bit[None, :] == 1, mul, out)
+        sq = sq * sq % R
+    return out
+
+
 def powers_block(x: int, start: int, end: int) -> np.ndarray:
     """Window [start, end) of [1, x, x^2, ...] as host limbs."""
     m = end - start

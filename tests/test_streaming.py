@@ -206,3 +206,20 @@ def test_snark_elastic_equals_time(keys):
     assert pt.second_sumcheck_msgs == pe.second_sumcheck_msgs
     assert pt.tensorcheck_proof == pe.tensorcheck_proof
     pe.verify(r1, vk)
+
+
+def test_host_r1cs_stream_snark_matches_dense(keys):
+    """HostR1csStream (host-RAM COO, block-streamed matvec/rmatvec,
+    circuit.rs:26-40 R1csStream + snark/streams.rs MatrixTensor
+    analogue): elastic proof bit-identical to the dense-relation one."""
+    from gemini_tpu.relation import random_r1cs
+    from gemini_tpu.relation.stream import HostR1csStream
+
+    ck, vk = keys
+    r1cs = random_r1cs(random.Random(31), 16, row_nnz=2)
+    cks = CommitterKeyStream(ck, max_msm_buffer=8)
+    dense_proof = Proof.new_elastic(r1cs, cks, block_size=8, threshold=2)
+    hs = HostR1csStream.from_r1cs(r1cs, block_size=8)
+    host_proof = Proof.new_elastic(hs, cks, block_size=8, threshold=2)
+    assert dense_proof == host_proof
+    host_proof.verify(r1cs, vk)
