@@ -123,8 +123,6 @@ class CommitterKeyStream:
                 )
                 qblock = fp.mont_mul(FR, s_next, inv_pows)
                 base_off = off
-            if off == 0 and x % R != 0:
-                pass
             if qblock.shape[1] == 0:
                 continue
             # quotient has degree n-2: drop the final (zero) slot

@@ -228,11 +228,23 @@ class TimeProver:
         return (f0, g0)
 
 
-# The elastic prover of the reference switches space->time below a
-# threshold; on TPU the dense path is already the fast path, so the
-# elastic entry is an alias (host-offload promotion lives in kzg/space
-# streaming, added at the streaming layer).
-ElasticProver = TimeProver
+def ElasticProver(f, g, twist: int, block_size: int = 1 << 20,
+                  threshold: int | None = None):
+    """Resource-adaptive prover entry (elastic_prover.rs:10-57
+    analogue), consistent under BOTH public import paths: HostVector
+    inputs run the streaming space prover with the dense switch under
+    SPACE_TIME_THRESHOLD (streaming/sumcheck.py); device arrays run
+    the dense TimeProver directly (already the fast path in HBM)."""
+    from ..streaming.host import HostVector
+
+    if isinstance(f, HostVector) or isinstance(g, HostVector):
+        from .. import SPACE_TIME_THRESHOLD
+        from ..streaming.sumcheck import ElasticProver as _StreamElastic
+
+        if threshold is None:
+            threshold = SPACE_TIME_THRESHOLD
+        return _StreamElastic(f, g, twist, block_size, threshold)
+    return TimeProver(f, g, twist)
 
 
 def _append_round_msg(transcript: GeminiTranscript, msg: Tuple[int, int]):
