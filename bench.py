@@ -10,8 +10,8 @@ a representative figure for arkworks `msm_bigint` (asm+parallel
 features) at 2^20 on a 64-core CPU host, the reference's fastest
 configuration (BASELINE.md).
 
-Env knobs: BENCH_LOGN (default 16), BENCH_WINDOW (default auto),
-BENCH_REPEATS (default 3).
+Env knobs: BENCH_LOGN (default 20 — the BASELINE.json config),
+BENCH_WINDOW (default auto), BENCH_REPEATS (default 2).
 """
 
 import json
@@ -38,7 +38,7 @@ BASELINE_POINTS_PER_S = 5.0e6
 
 
 def main():
-    logn = int(os.environ.get("BENCH_LOGN", "18"))
+    logn = int(os.environ.get("BENCH_LOGN", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     n = 1 << logn
 
