@@ -258,6 +258,84 @@ def _window_chunk(px, py, pinf, mags, negs, c: int, use_proj: bool):
     return x[..., 0], y[..., 0], z[..., 0]
 
 
+# ---------------------------------------------------------------------------
+# jax.export trace cache: Python tracing of the fused window-chunk
+# pipeline costs ~60 s per pow-4 size bucket and — unlike XLA compiles —
+# is NOT covered by the persistent compilation cache (PERF.md).  Each
+# (shapes, plan, backend, code-fingerprint) chunk is exported once to
+# disk as StableHLO and deserialized on later runs (compilation of the
+# deserialized module still hits the XLA persistent cache).
+# ---------------------------------------------------------------------------
+
+_EXPORT_MEM: dict = {}
+_CODE_FP: str | None = None
+
+
+def _code_fingerprint() -> str:
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+
+        from ..curve import pallas_g1 as _pg
+
+        h = hashlib.sha1()
+        for mod in (_pg, ec_scan):
+            h.update(open(mod.__file__, "rb").read())
+        h.update(open(__file__, "rb").read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
+def _export_cache_dir():
+    import os
+
+    d = os.environ.get("GEMINI_TPU_EXPORT_CACHE",
+                       "/tmp/gemini_tpu_export_cache")
+    return None if d in ("", "0") else d
+
+
+def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
+    cache_dir = _export_cache_dir()
+    if cache_dir is None:
+        return _window_chunk(px, py, pinf, mags, negs, c, use_proj)
+    backend = jax.default_backend()
+    key = (px.shape, mags.shape, c, use_proj, backend)
+    fn = _EXPORT_MEM.get(key)
+    if fn is None:
+        import os
+
+        from jax import export as jexport
+
+        os.makedirs(cache_dir, exist_ok=True)
+        name = (f"wc_{_code_fingerprint()}_{backend}_{px.shape[1]}_"
+                f"{mags.shape[0]}x{mags.shape[1]}_{c}_{int(use_proj)}.bin")
+        path = os.path.join(cache_dir, name)
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    # exp.call re-lowers per invocation; jit it once so
+                    # the 15 chunk calls per MSM reuse one executable.
+                    fn = jax.jit(jexport.deserialize(f.read()).call)
+            except Exception:
+                fn = None
+        if fn is None:
+            wrapped = jax.jit(
+                lambda a, b, d, e, f: _window_chunk(a, b, d, e, f,
+                                                    c, use_proj)
+            )
+            spec = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            exp = jexport.export(wrapped)(
+                spec(px), spec(py), spec(pinf), spec(mags), spec(negs)
+            )
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(exp.serialize())
+            os.replace(tmp, path)
+            fn = wrapped  # already traced; reuse the live jit
+        _EXPORT_MEM[key] = fn
+    return fn(px, py, pinf, mags, negs)
+
+
 def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
         n_bits: int = 255) -> JPoint:
     """MSM over G1: sum_i scalars[i] * points[i].
@@ -305,7 +383,7 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
             mchunk = jnp.concatenate([mchunk, fill], axis=0)
             nchunk = jnp.concatenate(
                 [nchunk, fill.astype(bool)], axis=0)
-        x, y, z = _window_chunk(
+        x, y, z = _window_chunk_call(
             points.x, points.y, points.inf, mchunk, nchunk, c, use_proj
         )
         tx.append(x)

@@ -1,5 +1,6 @@
 """Preprocessing SNARK end-to-end (psnark/tests.rs analogue)."""
 
+import os
 import random
 
 import pytest
@@ -59,3 +60,30 @@ def test_psnark_rejects_tampering(setup):
     proof2.set_z_ep = (proof2.set_z_ep + 1) % R
     with pytest.raises(PsnarkVerificationError):
         proof2.verify(r1, vk, idx, jm.num_non_zero)
+
+
+def _psnark_roundtrip_at(n: int, seed: int) -> None:
+    r1 = random_r1cs(random.Random(seed), n, row_nnz=3)
+    jm = joint_matrices(r1)
+    degree = n + jm.num_non_zero + n
+    ck = CommitterKey.new(max_degree=degree, max_eval_points=3, seed=17)
+    vk = VerifierKey.from_committer_key(ck)
+    idx = index(ck, r1)
+    proof = Proof.new_time(ck, r1, idx)
+    proof.verify(r1, vk, idx, jm.num_non_zero)
+
+
+def test_psnark_roundtrip_2k():
+    """Scaled e2e at 2048 constraints (nnz ~6K): reaches the pow-4
+    bucket/padding edges the tiny instances cannot."""
+    _psnark_roundtrip_at(2048, 77)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GEMINI_TPU_SLOW_TESTS"),
+    reason="~45-90 min on the CPU backend (tape-VM MSM throughput); "
+    "set GEMINI_TPU_SLOW_TESTS=1 to run the reference-sized instance",
+)
+def test_psnark_roundtrip_10k():
+    """The reference's own psnark test size (psnark/tests.rs:128-145)."""
+    _psnark_roundtrip_at(10024, 99)

@@ -82,3 +82,13 @@ def test_snark_rejects_tampering(keys):
     p_other = Proof.new_time(other, ck)
     with pytest.raises(SnarkVerificationError):
         p_other.verify(r1, vk)
+
+
+def test_snark_roundtrip_4k():
+    """Scaled e2e at 2^12 constraints (VERDICT round-1 item 5)."""
+    n = 1 << 12
+    ck = CommitterKey.new(max_degree=n, max_eval_points=3, seed=21)
+    vk = VerifierKey.from_committer_key(ck)
+    r1cs = dummy_r1cs(random.Random(12), n)
+    proof = Proof.new_time(r1cs, ck)
+    proof.verify(r1cs, vk)
