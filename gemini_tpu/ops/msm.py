@@ -296,9 +296,13 @@ def _export_cache_dir():
 
 def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
     cache_dir = _export_cache_dir()
-    if cache_dir is None:
-        return _window_chunk(px, py, pinf, mags, negs, c, use_proj)
     backend = jax.default_backend()
+    # TPU-only by default: process-warm tracing is the prover-startup
+    # cost there; on the CPU backend the in-process jit cache suffices,
+    # and export+virtual-multi-device CPU was in the mix for sporadic
+    # jaxlib compilation-cache segfaults (CLAUDE.md).
+    if cache_dir is None or backend != "tpu":
+        return _window_chunk(px, py, pinf, mags, negs, c, use_proj)
     key = (px.shape, mags.shape, c, use_proj, backend)
     fn = _EXPORT_MEM.get(key)
     if fn is None:
