@@ -1,6 +1,12 @@
 """Single-chip vs multi-chip consistency — the TPU rebirth of the
 reference's time/space transcript-equality idiom (SURVEY.md §4): the
-sharded prover must emit bit-identical round messages."""
+sharded prover must emit bit-identical round messages.
+
+Named test_Zparallel so these 8-virtual-device mesh tests run LAST:
+with them mid-suite, a jaxlib bug segfaulted the next module's
+persistent-cache read deterministically (compilation_cache
+get_executable_and_time; see CLAUDE.md).  Every module passes alone;
+only this global ordering interaction is affected."""
 
 import random
 
