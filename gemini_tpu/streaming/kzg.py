@@ -8,11 +8,17 @@ a loop of partial MSMs over `max_msm_buffer`-sized chunks, accumulated
 with single group additions — identical group elements to the dense
 committer (tested), with device memory bounded by the chunk size.
 
-`open` uses the two-pass streaming quotient: the suffix sums
-S_i = sum_{j>=i} f_j a^j needed by the parallel synthetic division
-(kzg/commit.py divide_linear) are computed per block in pass one and
-offset-corrected in pass two — the rolling-quotient analogue of
-kzg/space.rs:95-166.
+`open` uses the streaming quotient identity q_i = x^-(i+1) * S_{i+1}
+with S_i = sum_{j>=i} f_j x^j: processing blocks HIGH->LOW, the suffix
+state S carries across blocks in one (L, 1) device column, so a
+division is ONE pass — the rolling-quotient analogue of
+kzg/space.rs:95-166.  Multi-point openings chain `_DivideStage`s
+block-by-block and feed the final quotient blocks straight into
+partial MSMs (`_fused_open_msm`): the whole `batch_open_multi_points`
+is a single pass reading each input once with zero intermediate host
+writes, where the unfused pipeline (lincomb materialize + 2 passes per
+division + commit re-read) moved ~8x the data through the host<->device
+link — the dominant cost of giant elastic instances (PERF.md).
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ import numpy as np
 from ..curve import g1
 from ..fields import fp
 from ..fields.fp import FR
-from ..kzg.commit import CommitterKey, divide_linear, _apoint_slice
+from ..kzg.commit import CommitterKey, divide_linear, _apoint_slice, \
+    _suffix_sums
 from ..ops.msm import msm_mont_scalars
 from ..ops import poly
 from ..params import R
@@ -34,6 +41,76 @@ from .host import HostVector
 G1Host = Optional[Tuple[int, int]]
 
 MAX_MSM_BUFFER_LOG = 20  # kzg/space.rs:41 analogue
+
+
+class _DivideStage:
+    """Streaming synthetic division by (X - x), x != 0 mod R: consumes
+    blocks of the dividend HIGH->LOW, emits quotient blocks high->low
+    in the same pass.  State is one (L, 1) device column — the rolling
+    suffix S_off = sum_{j>=off} f_j x^j (kzg/space.rs:95-126).  After
+    the last (lowest) block, `evaluation()` is f(x)."""
+
+    def __init__(self, x: int, n: int):
+        assert x % R != 0
+        self.x = x % R
+        self.xinv = pow(self.x, -1, R)
+        self.n = n  # dividend length; quotient has n-1 slots
+        self.s_after = jnp.zeros((FR.n_limbs, 1), jnp.uint32)
+
+    def feed(self, off: int, block) -> Tuple[int, jnp.ndarray]:
+        """One dividend block [off, off+m) -> (off, quotient block),
+        trimmed to the quotient's n-1 valid slots."""
+        m = block.shape[1]
+        pw = poly.powers(FR, self.x, m)
+        t = fp.mont_mul(FR, block, pw)
+        s_local = _suffix_sums(t)
+        s_global = fp.add(
+            FR,
+            fp.mont_mul(FR, s_local, poly.scalar(FR, pow(self.x, off, R))),
+            jnp.broadcast_to(self.s_after, s_local.shape),
+        )
+        # q_i = S_{i+1} x^-(i+1): within the block shift by one, the
+        # tail slot's S_{off+m} is the incoming carry.
+        s_next = jnp.concatenate([s_global[:, 1:], self.s_after], axis=1)
+        inv_pows = fp.mont_mul(
+            FR,
+            poly.powers(FR, self.xinv, m),
+            poly.scalar(FR, pow(self.xinv, off + 1, R)),
+        )
+        qblock = fp.mont_mul(FR, s_next, inv_pows)
+        self.s_after = s_global[:, :1]
+        take = max(0, min(m, self.n - 1 - off))
+        return off, qblock[:, :take]
+
+    def evaluation(self) -> int:
+        """f(x), valid once every block has been fed."""
+        return FR.decode(self.s_after)[0]
+
+
+def _lincomb_rev_blocks(hvs, coeffs, block_size: int):
+    """Blocks of sum_i coeffs[i]*hvs[i] (index-0 aligned, max length),
+    yielded HIGH->LOW without materializing the combination."""
+    n = max(len(hv) for hv in hvs)
+    L = FR.n_limbs
+    cs = [poly.scalar(FR, c) for c in coeffs]
+    for off in reversed(range(0, n, block_size)):
+        m = min(block_size, n - off)
+        acc = None
+        for hv, c in zip(hvs, cs):
+            end = min(off + m, len(hv))
+            if end <= off:
+                continue
+            sl = hv.slice(off, end)
+            if sl.shape[1] < m:
+                sl = np.concatenate(
+                    [sl, np.zeros((L, m - sl.shape[1]), dtype=np.uint32)],
+                    axis=1,
+                )
+            term = fp.mont_mul(FR, jnp.asarray(sl), c)
+            acc = term if acc is None else fp.add(FR, acc, term)
+        if acc is None:
+            acc = jnp.zeros((L, m), jnp.uint32)
+        yield off, acc
 
 
 class CommitterKeyStream:
@@ -70,70 +147,36 @@ class CommitterKeyStream:
         return acc
 
     def open(self, hv: HostVector, x: int) -> Tuple[int, G1Host]:
-        """(f(x), commitment to the quotient (f - f(x))/(X - x)) via
-        two streaming passes with bounded buffers."""
+        """(f(x), commitment to the quotient (f - f(x))/(X - x)) in ONE
+        streaming pass: `_DivideStage` emits quotient blocks high->low,
+        each immediately folded into the MSM accumulator."""
         n = len(hv)
         blk = self.max_msm_buffer
-        # pass 1: block totals T_b = sum_{j in b} f_j x^j
-        totals = []
-        for off, block in hv.blocks(blk):
-            totals.append(
-                pow(x, off, R) * poly.evaluate_le(FR, block, x) % R
-            )
-        suffix_after = [0] * len(totals)  # S at each block's END
-        run = 0
-        for i in reversed(range(len(totals))):
-            suffix_after[i] = run
-            run = (run + totals[i]) % R
-        evaluation = run
-        # pass 2: per-block quotient via local divide + offset fix:
-        # q_i = x^{-(i+1)} (S_local_i + S_after_block)
-        acc = None
-        xinv = pow(x, -1, R) if x % R else 0
-        for (off, block), s_after in zip(hv.blocks(blk), suffix_after):
-            m = block.shape[1]
-            if x % R == 0:
+        if n == 0:
+            return 0, None
+        if x % R == 0:
+            ev = FR.decode(jnp.asarray(hv.slice(0, 1)))[0]
+            acc = None
+            for off, block in hv.blocks(blk):
                 qblock = block[:, 1:] if off == 0 else block
                 base_off = max(off - 1, 0)
-            else:
-                # local suffix sums of f_j x^(j-off) within the block
-                pw = poly.powers(FR, x, m)
-                t = fp.mont_mul(FR, block, pw)
-                from ..kzg.commit import _suffix_sums
-                s_local = _suffix_sums(t)
-                # S_global_i = x^off * s_local + s_after
-                s_global = fp.add(
-                    FR,
-                    fp.mont_mul(FR, s_local, poly.scalar(FR, pow(x, off, R))),
-                    jnp.broadcast_to(
-                        poly.scalar(FR, s_after), s_local.shape
-                    ),
-                )
-                # q_i = S_{i+1} x^{-(i+1)} for global i in [off, off+m):
-                # within block: shift by one, append s_after for the tail
-                s_next = jnp.concatenate(
-                    [s_global[:, 1:],
-                     jnp.broadcast_to(poly.scalar(FR, s_after), (FR.n_limbs, 1))],
-                    axis=1,
-                )
-                inv_pows = fp.mont_mul(
-                    FR,
-                    poly.powers(FR, xinv, m),
-                    poly.scalar(FR, pow(xinv, off + 1, R)),
-                )
-                qblock = fp.mont_mul(FR, s_next, inv_pows)
-                base_off = off
-            if qblock.shape[1] == 0:
-                continue
-            # quotient has degree n-2: drop the final (zero) slot
-            if off + m >= n:
-                qblock = qblock[:, : max(0, n - 1 - base_off)]
                 if qblock.shape[1] == 0:
                     continue
-            bases = self.bases(base_off, qblock.shape[1])
+                bases = self.bases(base_off, qblock.shape[1])
+                part = msm_mont_scalars(bases, qblock)
+                acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
+            return ev, acc
+        stage = _DivideStage(x, n)
+        acc = None
+        for off in reversed(range(0, n, blk)):
+            block = jnp.asarray(hv.slice(off, min(off + blk, n)))
+            qoff, qblock = stage.feed(off, block)
+            if qblock.shape[1] == 0:
+                continue
+            bases = self.bases(qoff, qblock.shape[1])
             part = msm_mont_scalars(bases, qblock)
             acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
-        return evaluation, acc
+        return stage.evaluation(), acc
 
 
     def commit_folding(self, hv: HostVector,
@@ -143,47 +186,97 @@ class CommitterKeyStream:
         last challenge (kzg/space.rs:192-223 `commit_folding`).
 
         The reference does one pass with a stack automaton because its
-        streams are expensive to restart; here each level is a
-        streaming `hv_fold` over geometrically shrinking host data
-        (2x total work), with the folded levels retained host-side for
-        the later openings — device memory stays bounded by the MSM
+        streams are expensive to restart; here each level is ONE
+        streaming pass over geometrically shrinking host data (2x total
+        work): each folded block is committed (partial MSM) the moment
+        it is produced AND written back for the next level, so a level
+        costs one read + one half-size write instead of the unfused
+        read + write + re-read.  Folded levels are retained host-side
+        for the later openings; device memory stays bounded by the MSM
         buffer.  Returns (commitments, foldings) with group elements
         identical to the dense `foldings_polynomial` + `batch_commit`.
         """
-        from .ops import hv_fold
-
         cur = hv
         comms: List[G1Host] = []
         folds: List[HostVector] = []
         for ch in challenges[:-1]:
-            cur = hv_fold(cur, ch, self.max_msm_buffer)
-            comms.append(self.commit(cur))
+            cur, cm = self._fold_commit(cur, ch)
+            comms.append(cm)
             folds.append(cur)
         return comms, folds
+
+    def _fold_commit(self, hv: HostVector, r: int
+                     ) -> Tuple[HostVector, G1Host]:
+        """Fused streaming fold+commit: out[k] = f[2k] + r*f[2k+1]
+        written to host AND partially MSM'd per block in one pass."""
+        n = len(hv)
+        out_n = (n + 1) // 2
+        L = FR.n_limbs
+        out = np.zeros((L, out_n), dtype=np.uint32)
+        rs = poly.scalar(FR, r)
+        blk = max(2, self.max_msm_buffer - (self.max_msm_buffer % 2))
+        acc = None
+        for off in range(0, n, blk):
+            raw = hv.slice(off, min(off + blk, n))
+            m = raw.shape[1]
+            if m % 2:
+                raw = np.concatenate(
+                    [raw, np.zeros((L, 1), dtype=np.uint32)], axis=1
+                )
+            fb = poly.fold_polynomial(FR, jnp.asarray(raw), rs)
+            bases = self.bases(off // 2, fb.shape[1])
+            part = msm_mont_scalars(bases, fb)
+            acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
+            out[:, off // 2: off // 2 + fb.shape[1]] = np.asarray(fb)
+        return HostVector(out, hv.spec), acc
 
     def open_multi_points(self, hv: HostVector,
                           points: Sequence[int]) -> G1Host:
         """Streaming multi-point open (kzg/space.rs:128-166): chained
-        streaming synthetic divisions, one bounded-buffer MSM at the
-        end."""
-        q = hv
-        for pt in points:
-            _, q = divide_linear_stream(q, pt, self.max_msm_buffer)
-        if len(q) == 0:
-            return None
-        return self.commit(q)
+        synthetic divisions fused into one reverse pass with partial
+        MSMs on the emitted quotient blocks."""
+        return self._fused_open_msm([hv], [1], points)
 
     def batch_open_multi_points(self, hvs: Sequence[HostVector],
                                 points: Sequence[int],
                                 eval_chal: int) -> G1Host:
         """Open sum_i eta^i f_i at every point — the streaming twin of
         CommitterKey.batch_open_multi_points (kzg/space.rs:229-285
-        `open_folding` semantics when hvs are a fold tree)."""
-        from .ops import hv_lincomb
-
+        `open_folding` semantics when hvs are a fold tree).  One fused
+        pass: each input is read exactly once."""
         etas = poly.powers_host(eval_chal, len(hvs))
-        batched = hv_lincomb(list(hvs), etas, self.max_msm_buffer)
-        return self.open_multi_points(batched, points)
+        return self._fused_open_msm(list(hvs), etas, points)
+
+    def _fused_open_msm(self, hvs: Sequence[HostVector],
+                        coeffs: Sequence[int],
+                        points: Sequence[int]) -> G1Host:
+        """ONE streaming pass, high->low: lincomb the sources block by
+        block, chain the per-point `_DivideStage`s, and accumulate the
+        final quotient's partial MSMs immediately (the MSM is
+        order-independent).  No intermediate vector is ever written to
+        host RAM."""
+        pts = [p % R for p in points]
+        if any(p == 0 for p in pts):  # degenerate point: unfused chain
+            from .ops import hv_lincomb
+
+            q = hv_lincomb(list(hvs), coeffs, self.max_msm_buffer)
+            for pt in pts:
+                _, q = divide_linear_stream(q, pt, self.max_msm_buffer)
+            return self.commit(q) if len(q) else None
+        n = max(len(hv) for hv in hvs)
+        stages = [_DivideStage(p, n - t) for t, p in enumerate(pts)]
+        acc = None
+        for off, block in _lincomb_rev_blocks(hvs, coeffs, self.max_msm_buffer):
+            for st in stages:
+                off, block = st.feed(off, block)
+                if block.shape[1] == 0:
+                    break
+            if block.shape[1] == 0:
+                continue
+            bases = self.bases(off, block.shape[1])
+            part = msm_mont_scalars(bases, block)
+            acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
+        return acc
 
 
 class FakeCommitterKeyStream(CommitterKeyStream):
@@ -238,9 +331,9 @@ def divide_linear_stream(hv: HostVector, x: int,
                          ) -> Tuple[int, HostVector]:
     """Streaming division of f by (X - x): (f(x), quotient HostVector).
 
-    Same two-pass rolling-suffix scheme as CommitterKeyStream.open
-    (kzg/space.rs:95-126 analogue) but materializes the quotient to
-    host RAM so divisions chain for multi-point openings."""
+    Single reverse pass via `_DivideStage` (the rolling-suffix scheme
+    of kzg/space.rs:95-126), materializing the quotient to host RAM so
+    divisions can chain outside the fused opening pipeline."""
     n = len(hv)
     L = FR.n_limbs
     if n == 0:
@@ -251,46 +344,14 @@ def divide_linear_stream(hv: HostVector, x: int,
     if x % R == 0:
         return FR.decode(jnp.asarray(hv.slice(0, 1)))[0], \
             HostVector(np.asarray(hv.slice(1, n)), hv.spec)
-    # pass 1: block totals and suffix-after-block sums
-    totals = []
-    for off, block in hv.blocks(block_size):
-        totals.append(pow(x, off, R) * poly.evaluate_le(FR, block, x) % R)
-    suffix_after = [0] * len(totals)
-    run = 0
-    for i in reversed(range(len(totals))):
-        suffix_after[i] = run
-        run = (run + totals[i]) % R
-    evaluation = run
-    # pass 2: q_i = x^{-(i+1)} * S_{i+1} written back per block
     out = np.zeros((L, n - 1), dtype=np.uint32)
-    xinv = pow(x, -1, R)
-    from ..kzg.commit import _suffix_sums
-
-    for (off, block), s_after in zip(hv.blocks(block_size), suffix_after):
-        m = block.shape[1]
-        pw = poly.powers(FR, x, m)
-        t = fp.mont_mul(FR, block, pw)
-        s_local = _suffix_sums(t)
-        s_global = fp.add(
-            FR,
-            fp.mont_mul(FR, s_local, poly.scalar(FR, pow(x, off, R))),
-            jnp.broadcast_to(poly.scalar(FR, s_after), s_local.shape),
-        )
-        s_next = jnp.concatenate(
-            [s_global[:, 1:],
-             jnp.broadcast_to(poly.scalar(FR, s_after), (L, 1))],
-            axis=1,
-        )
-        inv_pows = fp.mont_mul(
-            FR,
-            poly.powers(FR, xinv, m),
-            poly.scalar(FR, pow(xinv, off + 1, R)),
-        )
-        qblock = fp.mont_mul(FR, s_next, inv_pows)
-        take = min(m, n - 1 - off)
-        if take > 0:
-            out[:, off: off + take] = np.asarray(qblock[:, :take])
-    return evaluation, HostVector(out, hv.spec)
+    stage = _DivideStage(x, n)
+    for off in reversed(range(0, n, block_size)):
+        block = jnp.asarray(hv.slice(off, min(off + block_size, n)))
+        qoff, qblock = stage.feed(off, block)
+        if qblock.shape[1]:
+            out[:, qoff: qoff + qblock.shape[1]] = np.asarray(qblock)
+    return stage.evaluation(), HostVector(out, hv.spec)
 
 
 def _apoint_slice_off(a, off: int, m: int):

@@ -26,7 +26,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: field/curve kernels are huge uint32
 # graphs; caching across test processes keeps the suite fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gemini_tpu_jax_cache")
+# Overridable so a second concurrent pytest process can use a private
+# dir (concurrent writers to one cache dir can segfault, CLAUDE.md).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GEMINI_TPU_TEST_CACHE", "/tmp/gemini_tpu_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
