@@ -74,6 +74,54 @@ _CONSTS[96: 96 + L, 0] = _int_limbs(_R384, L)
 _CONSTS[96: 96 + L, 1] = _int_limbs(12 * _R384 % FQ.modulus, L)
 
 
+# ---------------------------------------------------------------------------
+# MXU constant-convolution matrices (redc_mxu).  In REDC both inner
+# products are by CONSTANTS (m = P_lo * N' mod 2^384, MP = m * q), so
+# each becomes one exact bf16 matmul on the MXU over 8-bit limbs:
+# bytes < 2^8 are exact in bf16, and a 48-term dot of 16-bit products
+# is < 2^22 — exact in the f32 accumulator.  Row/column orders are
+# permuted ON THE MATRIX (it's constant) so the kernel needs no
+# sublane interleaves:
+#   columns: input layout [lo bytes of 16-bit rows 0..23 | hi bytes]
+#            (one mask + one shift + one concat in-kernel);
+#   rows:    output layout [even byte positions | odd byte positions]
+#            (combine16 = lo_half + (hi_half << 8), full-array ops).
+# ---------------------------------------------------------------------------
+
+_NBYTES = 2 * L  # 48 8-bit limbs
+
+
+def _int_bytes(x: int, n: int) -> np.ndarray:
+    return np.array([(x >> (8 * i)) & 0xFF for i in range(n)], np.int64)
+
+
+def _conv_matrix(const_bytes: np.ndarray, out_rows: int) -> np.ndarray:
+    """Byte-convolution matrix M[k, i] = const_bytes[k - i] with the
+    kernel's column (lo|hi) and row (even|odd) permutations applied."""
+    nb = _NBYTES
+    m = np.zeros((out_rows, nb), np.float32)
+    for k in range(out_rows):
+        for i in range(nb):
+            d = k - i
+            if 0 <= d < nb:
+                m[k, i] = float(const_bytes[d])
+    col_perm = [2 * j for j in range(L)] + [2 * j + 1 for j in range(L)]
+    row_perm = ([2 * j for j in range(out_rows // 2)]
+                + [2 * j + 1 for j in range(out_rows // 2)])
+    return m[np.ix_(row_perm, col_perm)]
+
+
+# Stacked (48 + 96, 48) bf16: rows 0..47 = N' matrix (product mod
+# 2^384), rows 48..143 = q matrix (full 96-byte product).
+_MXMAT = np.concatenate(
+    [
+        _conv_matrix(_int_bytes(_NPRIME, _NBYTES), _NBYTES),
+        _conv_matrix(_int_bytes(FQ.modulus, _NBYTES), 2 * _NBYTES),
+    ],
+    axis=0,
+).astype(jnp.bfloat16)
+
+
 def _shift_up(t, d):
     """Value shift: row j -> row j+d (low rows zero-filled)."""
     zero = jnp.zeros((d, t.shape[1]), jnp.uint32)
@@ -101,7 +149,7 @@ def _ckla(s):
 class _F:
     """In-kernel field helpers on (24, T) uint32 normalized values."""
 
-    def __init__(self, consts_ref):
+    def __init__(self, consts_ref, mx_ref=None):
         c = consts_ref[:]
         self.q = c[:L, :1]  # (24, 1) value
         self.n0 = c[L, 0]
@@ -110,6 +158,7 @@ class _F:
         self.q2 = c[64: 64 + L, :1]  # (24, 1) rows of 2p
         self.one_m = c[96: 96 + L, :1]  # (24, 1) Montgomery 1
         self.twelve_m = c[96: 96 + L, 1:2]  # (24, 1) Montgomery 12
+        self.mx = None if mx_ref is None else mx_ref[:]
         self._q8 = None
         self._n8 = None
 
@@ -180,7 +229,15 @@ class _F:
         """Montgomery-reduce a relaxed 48-row value (rows < 2^23,
         value < 2^384 * 2p): returns val * 2^-384 + (m*p)/2^384 in
         normalized rows, < value/2^384 + p.  NO conditional subtract —
-        the relaxed-domain core keeps everything in [0, 2p)."""
+        the relaxed-domain core keeps everything in [0, 2p).
+
+        Dispatches to the MXU form when the matrix input is wired in
+        (both REDC inner products are by constants — see _MXMAT)."""
+        if self.mx is not None and os.environ.get("GEMINI_TPU_MXU", "1") == "1":
+            return self.redc_mxu(P)
+        return self.redc_vpu(P)
+
+    def redc_vpu(self, P):
         T = P.shape[1]
         p_lo = self._norm_mod(P[:L])
         # NB: a low-24-rows-only conv for m was tried (the upper half is
@@ -189,7 +246,44 @@ class _F:
         # worse than the uniform (32, T) form.
         m = self._norm_mod(self._assemble48(*self._conv(p_lo, self.n8(T)))[:L])
         MP = self._assemble48(*self._conv(m, self.q8(T)))
-        S = P + MP  # rows < 2^23; value = P + m*p ≡ 0 mod 2^384
+        return self._redc_tail(P, MP)
+
+    def _split8cat(self, x):
+        """(24, T) 16-bit rows -> (48, T) bf16 bytes, [lo | hi] layout
+        (matching _conv_matrix's column permutation).  Mosaic has no
+        u32->bf16 cast; hop through i32/f32 (bytes are exact in all)."""
+        cat = jnp.concatenate([x & 0xFF, x >> 8], axis=0)
+        return cat.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def _mxdot(self, mat, x8):
+        """Exact bf16 MXU matmul: bytes x bytes summed over 48 -> < 2^22,
+        exact in the f32 accumulator; convert back to u32."""
+        o = jax.lax.dot_general(
+            mat, x8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return o.astype(jnp.int32).astype(jnp.uint32)
+
+    def redc_mxu(self, P):
+        """REDC with both constant inner products on the MXU.
+
+        m-matmul: (48, 48) @ bytes(P_lo) -> byte positions of
+        P_lo * N' mod 2^384, rows [even | odd] so combine16 is two
+        contiguous halves.  q-matmul: (96, 48) @ bytes(m) -> all 96
+        byte positions of m * q, rows < 2^22 so the 16-bit-position
+        combination stays < 2^31 (u32-safe; the tail's shift-add pass
+        keeps _ckla inputs < 2^17)."""
+        nmat = self.mx[:_NBYTES]
+        qmat = self.mx[_NBYTES:]
+        p_lo = self._norm_mod(P[:L])
+        mo = self._mxdot(nmat, self._split8cat(p_lo))
+        m = self._norm_mod(mo[:L] + (mo[L:] << 8))
+        qo = self._mxdot(qmat, self._split8cat(m))
+        MP = qo[: 2 * L] + (qo[2 * L:] << 8)  # (48, T) rows < 2^31
+        return self._redc_tail(P, MP)
+
+    def _redc_tail(self, P, MP):
+        T = P.shape[1]
+        S = P + MP  # rows < 2^31 + 2^23; value = P + m*p ≡ 0 mod 2^384
         # Exact carry-out of the low half (its normalized rows are 0).
         s_lo = (S[:L] & MASK) + _shift_up(S[:L] >> 16, 1)
         low, co_top = _ckla(s_lo)
@@ -499,36 +593,36 @@ def _add_core(F, x1, y1, z1, x2, y2, z2):
 # ---------------------------------------------------------------------------
 
 
-def _add_kernel(k, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-    F = _F(k)
+def _add_kernel(k, mx, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    F = _F(k, mx)
     x3, y3, z3 = _add_core(F, x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
     ox[:] = x3
     oy[:] = y3
     oz[:] = z3
 
 
-def _dbl_kernel(k, x1, y1, z1, ox, oy, oz):
-    F = _F(k)
+def _dbl_kernel(k, mx, x1, y1, z1, ox, oy, oz):
+    F = _F(k, mx)
     x3, y3, z3 = _dbl_core(F, x1[:], y1[:], z1[:])
     ox[:] = x3
     oy[:] = y3
     oz[:] = z3
 
 
-def _mm_kernel(k, a, b, o):
-    o[:] = _F(k).mm(a[:], b[:])
+def _mm_kernel(k, mx, a, b, o):
+    o[:] = _F(k, mx).mm(a[:], b[:])
 
 
-def _padd_kernel(k, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-    F = _F(k)
+def _padd_kernel(k, mx, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    F = _F(k, mx)
     x3, y3, z3 = _padd_core(F, x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
     ox[:] = x3
     oy[:] = y3
     oz[:] = z3
 
 
-def _padd01_kernel(k, x1, y1, m1, x2, y2, m2, ox, oy, oz):
-    F = _F(k)
+def _padd01_kernel(k, mx, x1, y1, m1, x2, y2, m2, ox, oy, oz):
+    F = _F(k, mx)
     x3, y3, z3 = _padd01_core(
         F, x1[:], y1[:], m1[:], x2[:], y2[:], m2[:])
     ox[:] = x3
@@ -544,8 +638,17 @@ def _const_spec():
     return pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
+def _mx_spec():
+    return pl.BlockSpec((3 * _NBYTES, _NBYTES), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _consts():
     return jnp.asarray(_CONSTS)
+
+
+def _mx():
+    return jnp.asarray(_MXMAT)
 
 
 def _coord_out(n):
@@ -571,10 +674,10 @@ def _add_call(tile, x1, y1, z1, x2, y2, z2):
     return pl.pallas_call(
         _add_kernel,
         grid=(npad // tile,),
-        in_specs=[_const_spec()] + [_coord_spec(tile)] * 6,
+        in_specs=[_const_spec(), _mx_spec()] + [_coord_spec(tile)] * 6,
         out_specs=[_coord_spec(tile)] * 3,
         out_shape=[_coord_out(npad)] * 3,
-    )(_consts(), *ins)
+    )(_consts(), _mx(), *ins)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -585,10 +688,10 @@ def _dbl_call(tile, x1, y1, z1):
     return pl.pallas_call(
         _dbl_kernel,
         grid=(npad // tile,),
-        in_specs=[_const_spec()] + [_coord_spec(tile)] * 3,
+        in_specs=[_const_spec(), _mx_spec()] + [_coord_spec(tile)] * 3,
         out_specs=[_coord_spec(tile)] * 3,
         out_shape=[_coord_out(npad)] * 3,
-    )(_consts(), *ins)
+    )(_consts(), _mx(), *ins)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -599,10 +702,10 @@ def _padd_call(tile, x1, y1, z1, x2, y2, z2):
     return pl.pallas_call(
         _padd_kernel,
         grid=(npad // tile,),
-        in_specs=[_const_spec()] + [_coord_spec(tile)] * 6,
+        in_specs=[_const_spec(), _mx_spec()] + [_coord_spec(tile)] * 6,
         out_specs=[_coord_spec(tile)] * 3,
         out_shape=[_coord_out(npad)] * 3,
-    )(_consts(), *ins)
+    )(_consts(), _mx(), *ins)
 
 
 def _mask_spec(tile):
@@ -617,13 +720,13 @@ def _padd01_call(tile, x1, y1, m1, x2, y2, m2):
     return pl.pallas_call(
         _padd01_kernel,
         grid=(npad // tile,),
-        in_specs=[_const_spec()] + [
+        in_specs=[_const_spec(), _mx_spec()] + [
             _coord_spec(tile), _coord_spec(tile), _mask_spec(tile),
             _coord_spec(tile), _coord_spec(tile), _mask_spec(tile),
         ],
         out_specs=[_coord_spec(tile)] * 3,
         out_shape=[_coord_out(npad)] * 3,
-    )(_consts(), *ins)
+    )(_consts(), _mx(), *ins)
 
 
 def padd01(p, q):
@@ -655,10 +758,10 @@ def _mm_call(tile, a, b):
     return pl.pallas_call(
         _mm_kernel,
         grid=(npad // tile,),
-        in_specs=[_const_spec()] + [_coord_spec(tile)] * 2,
+        in_specs=[_const_spec(), _mx_spec()] + [_coord_spec(tile)] * 2,
         out_specs=_coord_spec(tile),
         out_shape=_coord_out(npad),
-    )(_consts(), *ins)
+    )(_consts(), _mx(), *ins)
 
 
 def padd(p, q):

@@ -68,10 +68,12 @@ def plan_window(n: int, n_bits: int = 255):
     padded bucket size: one compiled pipeline per bucket.
     """
     import math
+    import os
 
     if n <= 32:
         return 3, 4
     best = None
+    wc_env = os.environ.get("GEMINI_TPU_WC")
     for c in range(4, 21):
         w = -(-n_bits // c)
         if (_R_FR >> (c * (w - 1))) + 1 > (1 << (c - 1)):
@@ -84,10 +86,16 @@ def plan_window(n: int, n_bits: int = 255):
                 continue
             chunks = -(-w // wc)
             cost = chunks * wc * per_window
-            if best is None or cost < best[0]:
+            # On cost ties prefer the LARGER chunk: per-dispatch glue
+            # and the deep scan levels amortize across the window axis
+            # (msmprof: effective ns/add at Wc=1 is ~5x the raw kernel).
+            if (best is None or cost < best[0]
+                    or (cost == best[0] and wc > best[2])):
                 best = (cost, c, wc)
     if best is None:  # tiny n with huge windows filtered out
         return 8, 4
+    if wc_env:
+        return best[1], int(wc_env)
     return best[1], best[2]
 
 
@@ -163,24 +171,58 @@ def _horner_host(totals_jac, c: int) -> JPoint:
     return JPoint(jnp.asarray(ap.x), jnp.asarray(ap.y), one)
 
 
+def _pack_xy(px, py):
+    """(24, N) x and y coordinate planes -> ONE (24, N) uint32 array:
+    rows 0..11 = x limbs j | (x limbs j+12 << 16), rows 12..23 = y.
+    Lane gathers on TPU cost ~40 ns PER INDEX independent of the row
+    count up to ~24 rows (benches/glueprobe.py), so one packed gather
+    fetches both coordinates for the price of one."""
+    return jnp.concatenate(
+        [px[:12] | (px[12:] << jnp.uint32(16)),
+         py[:12] | (py[12:] << jnp.uint32(16))],
+        axis=0,
+    )
+
+
+def _unpack_half(g12):
+    """(12, ...) packed rows -> (24, ...) 16-bit rows ([lo | hi] halves
+    by construction — no sublane interleave)."""
+    return jnp.concatenate([g12 & jnp.uint32(0xFFFF), g12 >> jnp.uint32(16)],
+                           axis=0)
+
+
 @jax.jit
-def _sort_gather_proj(px, py, pinf, mags, negs):
-    """Sort each window's points by digit magnitude, emitting
-    (x, y, mask) for the RCB padd01 level-0 kernel: dead lanes
-    (infinity or digit 0) become the identity (0 : y : 0) with y
-    nonzero (projective scaling makes any nonzero y valid); negative
-    digits negate y."""
+def _sort_gather_proj(pp, pinf, mags, negs):
+    """Sort each window's points by digit magnitude, emitting FLIPPED
+    (descending) (x, y, mask) for the RCB padd01 level-0 kernel plus
+    the ASCENDING sorted digits (for the boundary positions).
+
+    Per-index costs dominate this phase (benches/glueprobe.py), so the
+    whole thing is ONE key sort + ONE packed coordinate gather:
+      * the neg/inf flags ride in the sort key's low bits (any order
+        within a digit group is valid — the scan is a sum);
+      * the 100 MB coordinate flip is replaced by flipping the 4 MB
+        order array before the gather;
+      * dead lanes (infinity or digit 0) become the identity
+        (0 : y : 0), y nonzero; negative digits negate y."""
     Wc, n = mags.shape
-    order = jnp.argsort(mags, axis=1)
-    sd = jnp.take_along_axis(mags, order, axis=1)
-    sneg = jnp.take_along_axis(negs, order, axis=1)
-    gx = px[:, order]
-    gy = py[:, order]
-    ginf = pinf[order]
+    key = ((mags << jnp.uint32(2))
+           | (negs.astype(jnp.uint32) << jnp.uint32(1))
+           | jnp.broadcast_to(pinf, (Wc, n)).astype(jnp.uint32))
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (Wc, n))
+    skey, order = jax.lax.sort((key, iota), num_keys=1)
+    order_f = order[:, ::-1]
+    g = pp[:, order_f]  # (24, Wc, n): packed x | y, descending digits
+    gx = _unpack_half(g[:12])
+    gy = _unpack_half(g[12:])
+    sd = skey >> jnp.uint32(2)  # ascending magnitudes
+    skey_f = skey[:, ::-1]
+    sneg = (skey_f >> jnp.uint32(1)) & jnp.uint32(1)
+    ginf = (skey_f & jnp.uint32(1)).astype(bool)
     one = FQ.ones_mont((Wc, n))
-    dead = jnp.logical_or(ginf, sd == 0)
+    dead = jnp.logical_or(ginf, skey_f >> jnp.uint32(2) == 0)
     x = fp.select(dead, FQ.zeros((Wc, n)), gx)
-    y = fp.select(sneg, fp.neg(FQ, gy), gy)
+    y = fp.select(sneg.astype(bool), fp.neg(FQ, gy), gy)
     y = fp.select(ginf, one, y)
     mask = jnp.logical_not(dead)
     return x, y, mask, sd
@@ -217,10 +259,23 @@ def _use_proj() -> bool:
 def _boundary_positions(sd, c: int):
     """Flipped-prefix positions of the signed-digit bucket boundaries:
     suffix_{mag >= k} in sorted order == prefix up to n-1-searchsorted(k)
-    in FLIPPED order, for k = 1..2^(c-1); -1 = empty (identity)."""
+    in FLIPPED order, for k = 1..2^(c-1); -1 = empty (identity).
+
+    searchsorted_left(sd, k) = #elements < k is computed via ONE
+    scatter-max + running max instead of 2^(c-1) vmapped binary
+    searches (each search round is a per-index gather; glueprobe.py):
+    t[v] = 1 + last index of value v, cummax(t)[v] = #elements <= v
+    (sd is sorted), and #< k = cummax(t)[k-1]."""
     Wc, n = sd.shape
-    ks = jnp.arange(1, (1 << (c - 1)) + 1, dtype=jnp.uint32)
-    b = jax.vmap(lambda row: jnp.searchsorted(row, ks, side="left"))(sd)
+    m = 1 << (c - 1)
+    iota = jnp.arange(1, n + 1, dtype=jnp.uint32)
+
+    def one(row):
+        t = jnp.zeros((m + 1,), jnp.uint32).at[row].max(
+            iota, indices_are_sorted=True, mode="drop")
+        return jax.lax.cummax(t)[:m]  # b[k-1] = #elements < k, k=1..m
+
+    b = jax.vmap(one)(sd)
     return (n - 1) - b.astype(jnp.int32)  # (Wc, 2^(c-1)) in [-1, n-1]
 
 
@@ -232,8 +287,8 @@ def _tape_padd01(a, b):
     return ec_scan.add_points(ec_scan._lift01(*a), ec_scan._lift01(*b))
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _window_chunk(px, py, pinf, mags, negs, c: int, use_proj: bool):
+@partial(jax.jit, static_argnums=(4, 5))
+def _window_chunk(pp, pinf, mags, negs, c: int, use_proj: bool):
     """One window-chunk of the Pippenger pipeline as a SINGLE jitted
     computation: sort-by-magnitude (negating negative digits), then
     positional prefix sums at the 2^(c-1) bucket boundaries
@@ -241,16 +296,16 @@ def _window_chunk(px, py, pinf, mags, negs, c: int, use_proj: bool):
     scan), then the bucket tree-reduce.  Fusing the whole chunk keeps
     the glue ops out of the per-op dispatch path — at 2^20 the unfused
     pipeline was ~10^3 tunnel dispatches per MSM and dispatch-bound,
-    not compute-bound."""
+    not compute-bound.  `pp` is the packed coordinate array
+    (_pack_xy)."""
     if use_proj:
         combiner = ec_scan.pallas_padd_points
         combiner01 = ec_scan.pallas_padd01_points
     else:
         combiner = ec_scan.add_points
         combiner01 = _tape_padd01
-    gx, gy, mask, sd = _sort_gather_proj(px, py, pinf, mags, negs)
+    fx, fy, fm, sd = _sort_gather_proj(pp, pinf, mags, negs)
     pos = _boundary_positions(sd, c)
-    fx, fy, fm = gx[..., ::-1], gy[..., ::-1], mask[..., ::-1]
     bx, by, bz = ec_scan.prefix_sums_at(
         fx, fy, fm, pos, combiner=combiner, combiner01=combiner01
     )
@@ -275,6 +330,7 @@ def _code_fingerprint() -> str:
     global _CODE_FP
     if _CODE_FP is None:
         import hashlib
+        import os
 
         from ..curve import pallas_g1 as _pg
 
@@ -282,6 +338,10 @@ def _code_fingerprint() -> str:
         for mod in (_pg, ec_scan):
             h.update(open(mod.__file__, "rb").read())
         h.update(open(__file__, "rb").read())
+        # Kernel-shaping env knobs change the traced program without
+        # changing any file hash.
+        for knob in ("GEMINI_TPU_MM2", "GEMINI_TPU_MXU", "GEMINI_TPU_PTILE"):
+            h.update(f"{knob}={os.environ.get(knob, '')};".encode())
         _CODE_FP = h.hexdigest()[:16]
     return _CODE_FP
 
@@ -294,7 +354,7 @@ def _export_cache_dir():
     return None if d in ("", "0") else d
 
 
-def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
+def _window_chunk_call(pp, pinf, mags, negs, c: int, use_proj: bool):
     cache_dir = _export_cache_dir()
     backend = jax.default_backend()
     # TPU-only by default: process-warm tracing is the prover-startup
@@ -302,8 +362,8 @@ def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
     # and export+virtual-multi-device CPU was in the mix for sporadic
     # jaxlib compilation-cache segfaults (CLAUDE.md).
     if cache_dir is None or backend != "tpu":
-        return _window_chunk(px, py, pinf, mags, negs, c, use_proj)
-    key = (px.shape, mags.shape, c, use_proj, backend)
+        return _window_chunk(pp, pinf, mags, negs, c, use_proj)
+    key = (pp.shape, mags.shape, c, use_proj, backend)
     fn = _EXPORT_MEM.get(key)
     if fn is None:
         import os
@@ -311,7 +371,7 @@ def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
         from jax import export as jexport
 
         os.makedirs(cache_dir, exist_ok=True)
-        name = (f"wc_{_code_fingerprint()}_{backend}_{px.shape[1]}_"
+        name = (f"wc_{_code_fingerprint()}_{backend}_{pp.shape[1]}_"
                 f"{mags.shape[0]}x{mags.shape[1]}_{c}_{int(use_proj)}.bin")
         path = os.path.join(cache_dir, name)
         if os.path.exists(path):
@@ -324,12 +384,11 @@ def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
                 fn = None
         if fn is None:
             wrapped = jax.jit(
-                lambda a, b, d, e, f: _window_chunk(a, b, d, e, f,
-                                                    c, use_proj)
+                lambda a, b, d, e: _window_chunk(a, b, d, e, c, use_proj)
             )
             spec = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
             exp = jexport.export(wrapped)(
-                spec(px), spec(py), spec(pinf), spec(mags), spec(negs)
+                spec(pp), spec(pinf), spec(mags), spec(negs)
             )
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
@@ -337,7 +396,7 @@ def _window_chunk_call(px, py, pinf, mags, negs, c: int, use_proj: bool):
             os.replace(tmp, path)
             fn = wrapped  # already traced; reuse the live jit
         _EXPORT_MEM[key] = fn
-    return fn(px, py, pinf, mags, negs)
+    return fn(pp, pinf, mags, negs)
 
 
 def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
@@ -376,6 +435,7 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
     mags, negs = extract_signed_digits(scalars, c, n_bits)
     W = mags.shape[0]
     use_proj = _use_proj()
+    pp = _pack_xy(points.x, points.y)
     tx, ty, tz = [], [], []
     for w0 in range(0, W, window_chunk):
         mchunk = mags[w0: w0 + window_chunk]
@@ -388,7 +448,7 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
             nchunk = jnp.concatenate(
                 [nchunk, fill.astype(bool)], axis=0)
         x, y, z = _window_chunk_call(
-            points.x, points.y, points.inf, mchunk, nchunk, c, use_proj
+            pp, points.inf, mchunk, nchunk, c, use_proj
         )
         tx.append(x)
         ty.append(y)
