@@ -86,11 +86,13 @@ def plan_window(n: int, n_bits: int = 255):
                 continue
             chunks = -(-w // wc)
             cost = chunks * wc * per_window
-            # On cost ties prefer the LARGER chunk: per-dispatch glue
-            # and the deep scan levels amortize across the window axis
-            # (msmprof: effective ns/add at Wc=1 is ~5x the raw kernel).
-            if (best is None or cost < best[0]
-                    or (cost == best[0] and wc > best[2])):
+            # On cost ties prefer the SMALLEST chunk: measured at 2^20
+            # (round 3), Wc=4 was 1.6x SLOWER than Wc=1 (246K vs 397K
+            # pts/s) — the larger working set (0.4 GB per coordinate
+            # array plus the walk-down level stack) evicts the scan's
+            # reuse, while per-dispatch overhead is already amortized
+            # by async pipelining.
+            if best is None or cost < best[0]:
                 best = (cost, c, wc)
     if best is None:  # tiny n with huge windows filtered out
         return 8, 4
@@ -266,17 +268,56 @@ def _boundary_positions(sd, c: int):
     searches (each search round is a per-index gather; glueprobe.py):
     t[v] = 1 + last index of value v, cummax(t)[v] = #elements <= v
     (sd is sorted), and #< k = cummax(t)[k-1]."""
+    import os
+
     Wc, n = sd.shape
     m = 1 << (c - 1)
-    iota = jnp.arange(1, n + 1, dtype=jnp.uint32)
+    mode = os.environ.get("GEMINI_TPU_BOUND", "hist")  # A/B knob
+    if mode == "search":
+        ks = jnp.arange(1, m + 1, dtype=jnp.uint32)
+        b = jax.vmap(lambda row: jnp.searchsorted(row, ks, side="left"))(sd)
+        return (n - 1) - b.astype(jnp.int32)
+    if mode == "scatter":
+        iota = jnp.arange(1, n + 1, dtype=jnp.uint32)
 
-    def one(row):
-        t = jnp.zeros((m + 1,), jnp.uint32).at[row].max(
-            iota, indices_are_sorted=True, mode="drop")
-        return jax.lax.cummax(t)[:m]  # b[k-1] = #elements < k, k=1..m
+        def one(row):
+            t = jnp.zeros((m + 1,), jnp.uint32).at[row].max(
+                iota, indices_are_sorted=True, mode="drop")
+            return jax.lax.cummax(t)[:m]  # b[k-1] = #elements < k
 
-    b = jax.vmap(one)(sd)
-    return (n - 1) - b.astype(jnp.int32)  # (Wc, 2^(c-1)) in [-1, n-1]
+        b = jax.vmap(one)(sd)
+        return (n - 1) - b.astype(jnp.int32)  # (Wc, 2^(c-1)) in [-1, n-1]
+    # Default: histogram via MXU.  Counting beats searching/scattering
+    # because per-index ops cost ~40 ns on TPU while one-hot matmuls
+    # ride the MXU: count[hi, lo] = sum_i [v_i >> LB == hi][v_i & LM ==
+    # lo] is an (HI, T) x (T, 128) bf16 matmul per value chunk (one-hot
+    # entries are exact in bf16; counts <= n < 2^24 are exact in the
+    # f32 accumulator).  b[k] = #elements < k = exclusive-cumsum of the
+    # flattened histogram; works on UNSORTED values too (sd is handy).
+    LB, LN = 7, 128  # low bits / bins
+    hi_bins = (m >> LB) + 1  # values reach m inclusive
+    chunk = min(n, 1 << 13)
+    n_pad = -(-n // chunk) * chunk
+    v = sd
+    if n_pad != n:  # pad with an out-of-range hi bin? clamp to m instead
+        v = jnp.concatenate(
+            [v, jnp.full((Wc, n_pad - n), m, jnp.uint32)], axis=1)
+    hi = (v >> LB).astype(jnp.int32)
+    lo = (v & (LN - 1)).astype(jnp.int32)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hi_bins), 2)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LN), 2)
+    counts = jnp.zeros((Wc, hi_bins, LN), jnp.float32)
+    for s in range(0, n_pad, chunk):
+        h1 = (hi[:, s:s + chunk, None] == hi_iota).astype(jnp.bfloat16)
+        l1 = (lo[:, s:s + chunk, None] == lo_iota).astype(jnp.bfloat16)
+        counts = counts + jax.lax.dot_general(
+            h1, l1, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    flat = counts.reshape(Wc, hi_bins * LN).astype(jnp.int32)
+    if n_pad != n:  # remove the padding's contribution to bin m
+        flat = flat - jnp.zeros_like(flat).at[:, m].set(n_pad - n)
+    b = jnp.cumsum(flat, axis=1)[:, :m]  # b[k-1] = #elements < k
+    return (n - 1) - b
 
 
 def _tape_padd01(a, b):
@@ -340,7 +381,8 @@ def _code_fingerprint() -> str:
         h.update(open(__file__, "rb").read())
         # Kernel-shaping env knobs change the traced program without
         # changing any file hash.
-        for knob in ("GEMINI_TPU_MM2", "GEMINI_TPU_MXU", "GEMINI_TPU_PTILE"):
+        for knob in ("GEMINI_TPU_MM2", "GEMINI_TPU_MXU", "GEMINI_TPU_PTILE",
+                     "GEMINI_TPU_BOUND"):
             h.update(f"{knob}={os.environ.get(knob, '')};".encode())
         _CODE_FP = h.hexdigest()[:16]
     return _CODE_FP
