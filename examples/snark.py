@@ -68,6 +68,10 @@ def main():
             r1cs = dummy_r1cs(rng, n)
             ck = CommitterKey.new(max_degree=n, max_eval_points=3, seed=0)
             vk = VerifierKey.from_committer_key(ck)
+            setup_t = time.time() - t0
+            print(f"setup time:    {setup_t:.2f} s "
+                  f"(instance + SRS + verifier key)")
+            t0 = time.time()
             proof = Proof.new_time(r1cs, ck)
         else:
             from gemini_tpu.params import R

@@ -24,6 +24,7 @@ TPU reformulations:
 from __future__ import annotations
 
 import random
+from functools import partial
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -37,7 +38,7 @@ from ..fields.fp import FQ, FR
 from ..curve import g1
 from ..curve.g1 import APoint, JPoint
 from ..ops import poly, scan
-from ..ops.msm import extract_digits, msm_mont_scalars
+from ..ops.msm import extract_digits, msm_batch, msm_mont_scalars
 from ..refimpl import (
     g1_add, g1_generator, g1_mul, g1_neg, g2_generator, g2_mul, g2_add,
     g2_neg, pairing,
@@ -60,17 +61,67 @@ def _apoint_gather(a: APoint, idx) -> APoint:
     return APoint(a.x[:, idx], a.y[:, idx], a.inf[idx])
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _fb_tree(tblp, tbl_inf, idx, use_proj: bool):
+    """One packed gather of every window's table entry + a tree
+    reduction over the WINDOW axis (log2(W) complete adds per scalar
+    instead of W sequential tape-VM mixed adds — the sequential chain
+    was ~38 s at 2^14 on TPU, round-3 trace).  Returns Jacobian
+    coordinate planes (L, n)."""
+    from ..ops import ec_scan
+    from ..ops.msm import (
+        _proj_to_jacobian, _tape_padd01, _unpack_half,
+    )
+
+    if use_proj:
+        comb01 = ec_scan.pallas_padd01_points
+        comb = ec_scan.pallas_padd_points
+    else:
+        comb01 = _tape_padd01
+        comb = ec_scan.add_points
+    g = tblp[:, idx]  # (24, W, n) packed x|y
+    gx = _unpack_half(g[:12])
+    gy = _unpack_half(g[12:])
+    ginf = tbl_inf[idx]  # (W, n)
+    one = FQ.ones_mont(ginf.shape)
+    gy = fp.select(ginf, one, gy)
+    gx = fp.select(ginf, jnp.zeros_like(gx), gx)
+    mask = jnp.logical_not(ginf)
+    # Level 0 on z in {0, 1}; W is a power of two (c = 8 -> W = 32).
+    h = gx.shape[1] // 2
+    x, y, z = comb01(
+        (gx[:, :h], gy[:, :h], mask[:h]),
+        (gx[:, h:], gy[:, h:], mask[h:]),
+    )
+    while x.shape[1] > 1:
+        h = x.shape[1] // 2
+        x, y, z = comb(
+            (x[:, :h], y[:, :h], z[:, :h]),
+            (x[:, h:], y[:, h:], z[:, h:]),
+        )
+    x, y, z = x[:, 0], y[:, 0], z[:, 0]
+    if use_proj:
+        return _proj_to_jacobian(x, y, z)
+    return x, y, z
+
+
 def fixed_base_msm(base: G1Host, scalars_canonical: jnp.ndarray,
-                   c: int = 8) -> APoint:
+                   c: int = 8, block: int = 1 << 15) -> APoint:
     """[s_i * base for i] as one batched device computation.
 
     Host precomputes the window table T[w][d] = d * 2^(c*w) * base
-    (W * 2^c small host ops); device gathers one table row per window
-    per scalar and does W batched mixed adds.
-    Mirrors FixedBase::msm usage in SRS setup (kzg/time.rs:55-59).
+    (W * 2^c small host ops); the device gathers one packed table row
+    per (window, scalar) and tree-reduces over the window axis
+    (`_fb_tree`), blocked over scalars to bound the (L, W, block)
+    working set.  Mirrors FixedBase::msm usage in SRS setup
+    (kzg/time.rs:55-59).
     """
+    from ..ops.msm import _pack_xy, _use_proj
+    from ..utils.trace import start_timer, end_timer
+
     n = scalars_canonical.shape[1]
     n_windows = -(-255 // c)
+    t = start_timer("fixed_base_msm::host table")
     table: List[G1Host] = []
     for w in range(n_windows):
         base_w = g1_mul(base, 1 << (c * w))
@@ -79,12 +130,34 @@ def fixed_base_msm(base: G1Host, scalars_canonical: jnp.ndarray,
             row.append(g1_add(row[-1], base_w))
         table.extend(row)
     tbl = g1.encode_affine(table)
+    tblp = _pack_xy(jnp.asarray(tbl.x), jnp.asarray(tbl.y))
+    tbl_inf = jnp.asarray(tbl.inf)
+    end_timer(t)
+    t = start_timer("fixed_base_msm::device adds")
     digits = extract_digits(scalars_canonical, c)
-    acc = g1.infinity((n,))
-    for w in range(n_windows):
-        idx = digits[w] + jnp.uint32(w << c)
-        acc = g1.add_mixed(acc, _apoint_gather(tbl, idx))
-    return g1.to_affine(acc)
+    offs = jnp.arange(n_windows, dtype=jnp.uint32)[:, None] << jnp.uint32(c)
+    idx = digits + offs  # (W, n); digit 0 rows hit table entry None
+    use_proj = _use_proj()
+    outs = []
+    for s in range(0, n, block):
+        blk = idx[:, s:s + block]
+        if blk.shape[1] < block and n > block:  # keep one compiled shape
+            blk = jnp.concatenate(
+                [blk, jnp.zeros(
+                    (n_windows, block - blk.shape[1]), jnp.uint32)
+                 + offs],
+                axis=1,
+            )
+        outs.append(_fb_tree(tblp, tbl_inf, blk, use_proj))
+    x = jnp.concatenate([o[0] for o in outs], axis=1)[:, :n]
+    y = jnp.concatenate([o[1] for o in outs], axis=1)[:, :n]
+    z = jnp.concatenate([o[2] for o in outs], axis=1)[:, :n]
+    acc = JPoint(x, y, z)
+    end_timer(t)
+    t = start_timer("fixed_base_msm::to_affine")
+    out = g1.to_affine(acc)
+    end_timer(t)
+    return out
 
 
 def _suffix_sums(v: jnp.ndarray) -> jnp.ndarray:
@@ -198,7 +271,24 @@ class CommitterKey:
         return g1.decode_jacobian(result)[0]
 
     def batch_commit(self, polys: Sequence[jnp.ndarray]) -> List[G1Host]:
-        return [self.commit(p) for p in polys]
+        """One batched-window MSM pipeline for ALL polynomials (the
+        fold-tree commit case: log-n polynomials of halving sizes).
+        Per-MSM pipeline startup dominated `[self.commit(p) for p in
+        polys]` (~53 s for 14 tiny commits at 2^14, round-3 trace)."""
+        polys = list(polys)
+        if not polys:
+            return []
+        if self.devices is not None and len(self.devices) > 1:
+            return [self.commit(p) for p in polys]  # multichip path
+        nmax = max(p.shape[1] for p in polys)
+        assert nmax <= self.powers_of_g.x.shape[1], (
+            f"polynomial length {nmax} exceeds SRS size "
+            f"{self.powers_of_g.x.shape[1]}"
+        )
+        results = msm_batch(
+            self.powers_of_g, [fp.from_mont(FR, p) for p in polys]
+        )
+        return [g1.decode_jacobian(r)[0] for r in results]
 
     def open(self, coeffs: jnp.ndarray, alpha: int):
         """-> (evaluation, proof): commitment to the quotient

@@ -509,3 +509,88 @@ def msm_mont_scalars(points: APoint, scalars_mont: jnp.ndarray,
                      c: int | None = None) -> JPoint:
     """MSM taking Montgomery-form Fr scalars (the prover's native form)."""
     return msm(points, fp.from_mont(FR, scalars_mont), c)
+
+
+def msm_batch(points: APoint, scalars_sets, c: int | None = None,
+              n_bits: int = 255):
+    """Many MSMs over PREFIXES of the same base array, as one pipeline.
+
+    scalars_sets: list of (FR_LIMBS, n_i) canonical scalar arrays; set i
+    is multiplied against points[:n_i].  All sets are zero-padded to a
+    common pow-4 bucket (a zero scalar's windows are all dead lanes)
+    and every set's windows are STACKED on the window-chunk axis, so S
+    small MSMs cost ceil(S*W / Wc) invocations of the SAME compiled
+    chunk pipeline a single MSM uses — the per-MSM startup (tracing,
+    dispatch chains) that dominated the fold-tree batch_commit
+    (S = log n commitments of halving sizes) is paid once.
+
+    Returns a list of JPoint results, one per scalar set.
+    """
+    sets = list(scalars_sets)
+    if not sets:
+        return []
+    nmax = max(s.shape[1] for s in sets)
+    npad = scan_util.bucket4(max(nmax, 1), floor=256)
+    navail = points.x.shape[1]
+    assert nmax <= navail, f"scalar length {nmax} exceeds base count {navail}"
+    if navail >= npad:
+        points = APoint(points.x[:, :npad], points.y[:, :npad],
+                        points.inf[:npad])
+    else:
+        pad = npad - navail
+        points = APoint(
+            jnp.concatenate(
+                [points.x, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
+            jnp.concatenate(
+                [points.y, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
+            jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
+        )
+    wc_plan = plan_window(npad, n_bits)
+    window_chunk = wc_plan[1]
+    if c is None:
+        c = wc_plan[0]
+    mags_l, negs_l = [], []
+    for s in sets:
+        if s.shape[1] < npad:
+            s = jnp.concatenate(
+                [s, jnp.zeros((s.shape[0], npad - s.shape[1]), jnp.uint32)],
+                axis=1)
+        m, g = extract_signed_digits(s, c, n_bits)
+        mags_l.append(m)
+        negs_l.append(g)
+    W = mags_l[0].shape[0]
+    mags = jnp.concatenate(mags_l, axis=0)  # (S*W, npad)
+    negs = jnp.concatenate(negs_l, axis=0)
+    SW = mags.shape[0]
+    use_proj = _use_proj()
+    pp = _pack_xy(points.x, points.y)
+    tx, ty, tz = [], [], []
+    for w0 in range(0, SW, window_chunk):
+        mchunk = mags[w0: w0 + window_chunk]
+        nchunk = negs[w0: w0 + window_chunk]
+        if mchunk.shape[0] < window_chunk:  # keep one compiled shape
+            fill = jnp.zeros(
+                (window_chunk - mchunk.shape[0], mchunk.shape[1]), jnp.uint32
+            )
+            mchunk = jnp.concatenate([mchunk, fill], axis=0)
+            nchunk = jnp.concatenate([nchunk, fill.astype(bool)], axis=0)
+        x, y, z = _window_chunk_call(
+            pp, points.inf, mchunk, nchunk, c, use_proj
+        )
+        tx.append(x)
+        ty.append(y)
+        tz.append(z)
+    totals = (
+        jnp.concatenate(tx, axis=1)[:, :SW],
+        jnp.concatenate(ty, axis=1)[:, :SW],
+        jnp.concatenate(tz, axis=1)[:, :SW],
+    )
+    if use_proj:
+        totals = _proj_to_jacobian(*totals)
+    # ONE readback for all sets (each _horner_host np.asarray would be
+    # a separate ~9 ms tunnel round trip).
+    tot_np = jax.device_get(list(totals))
+    return [
+        _horner_host(tuple(t[:, i * W:(i + 1) * W] for t in tot_np), c)
+        for i in range(len(sets))
+    ]

@@ -52,6 +52,8 @@ class Proof:
         proofs are bit-identical to the single-chip run (tested on the
         8-virtual-device CPU mesh).  The multi-chip replacement for the
         reference's rayon `parallel` feature (SURVEY.md §5)."""
+        from ..utils.trace import start_timer, end_timer
+
         if mesh is not None:
             from ..parallel.sumcheck import ShardedTimeProver
 
@@ -59,21 +61,29 @@ class Proof:
             mk_prover = lambda f, g, tw: ShardedTimeProver(mesh, f, g, tw)
         else:
             mk_prover = TimeProver
+        t = start_timer("snark::matvecs")
         z_a = r1cs.a.matvec(r1cs.z)
         z_b = r1cs.b.matvec(r1cs.z)
         z_c = r1cs.c.matvec(r1cs.z)
+        end_timer(t)
 
         transcript = GeminiTranscript(PROTOCOL_NAME)
+        t = start_timer("snark::commit w")
         witness_commitment = ck.commit(r1cs.w)
+        end_timer(t)
         transcript.append_serializable(b"witness", G1Msg(witness_commitment))
         alpha = transcript.get_challenge(b"alpha")
 
+        t = start_timer("snark::zc(alpha)")
         zc_alpha = poly.evaluate_le(FR, z_c, alpha)
+        end_timer(t)
         transcript.append_serializable(b"zc(alpha)", ScalarMsg(zc_alpha))
 
+        t = start_timer("snark::sumcheck 1")
         first_proof = Sumcheck.prove(
             transcript, mk_prover(z_a, z_b, alpha)
         )
+        end_timer(t)
 
         # r_B = ⊗(1, ρ_j); r_C = powers(α); r_A = r_B ∘ r_C
         # (tensor length 2^rounds >= num_constraints; sparse gathers
@@ -88,6 +98,7 @@ class Proof:
         # abc_tensored = A^T r_A + η B^T r_B + η² C^T r_C
         # (the scatter-build of snark/time_prover.rs:63-81, expressed as
         # three transposed sparse matvecs).
+        t = start_timer("snark::abc_tensored")
         part_a = r1cs.a.rmatvec(a_challenges)
         part_b = r1cs.b.rmatvec(b_challenges)
         part_c = r1cs.c.rmatvec(c_challenges)
@@ -100,17 +111,22 @@ class Proof:
                 fp.mont_mul(FR, part_c, poly.scalar(FR, eta2)),
             ),
         )
+        end_timer(t)
 
+        t = start_timer("snark::sumcheck 2")
         second_proof = Sumcheck.prove(
             transcript, mk_prover(abc_tensored, r1cs.z, 1)
         )
+        end_timer(t)
 
+        t = start_timer("snark::tensorcheck")
         tensorcheck_proof = TensorcheckProof.new_time(
             transcript,
             ck,
             [r1cs.w],
             [((abc_tensored, r1cs.z), second_proof.challenges)],
         )
+        end_timer(t)
         return Proof(
             witness_commitment=witness_commitment,
             zc_alpha=zc_alpha,

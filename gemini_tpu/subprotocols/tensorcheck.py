@@ -78,18 +78,24 @@ class TensorcheckProof:
         fold challenges, the challenges).  Instances are batched with
         powers of one batch challenge.
         """
+        from ..utils.trace import start_timer, end_timer
+
         max_len = max(len(polys) for polys, _ in body_polynomials)
         batch_challenge = transcript.get_challenge(b"batch_challenge")
         batch_challenges = poly.powers_host(batch_challenge, max_len)
 
+        t = start_timer("tensorcheck::foldings")
         foldings: List[jnp.ndarray] = []
         for polys, challenges in body_polynomials:
             batched = poly.linear_combination(
                 FR, list(polys), batch_challenges[: len(polys)]
             )
             foldings.extend(foldings_polynomial(batched, challenges))
+        end_timer(t)
 
+        t = start_timer("tensorcheck::batch_commit")
         folded_polynomials_commitments = ck.batch_commit(foldings)
+        end_timer(t)
         for c in folded_polynomials_commitments:
             transcript.append_serializable(b"commitment", G1Msg(c))
 
@@ -97,6 +103,7 @@ class TensorcheckProof:
         minus_beta = (-beta) % R
         beta2 = beta * beta % R
 
+        t = start_timer("tensorcheck::evaluations")
         base_polynomials_evaluations = [
             (
                 poly.evaluate_le(FR, p, beta2),
@@ -109,6 +116,7 @@ class TensorcheckProof:
             (poly.evaluate_le(FR, f, beta), poly.evaluate_le(FR, f, minus_beta))
             for f in foldings
         ]
+        end_timer(t)
 
         for evs in base_polynomials_evaluations:
             for e in evs:
@@ -118,10 +126,12 @@ class TensorcheckProof:
                 transcript.append_serializable(b"eval", ScalarMsg(e))
         open_chal = transcript.get_challenge(b"open-chal")
 
+        t = start_timer("tensorcheck::batch_open")
         all_polynomials = list(base_polynomials) + foldings
         evaluation_proof = ck.batch_open_multi_points(
             all_polynomials, [beta2, beta, minus_beta], open_chal
         )
+        end_timer(t)
         return TensorcheckProof(
             folded_polynomials_commitments=folded_polynomials_commitments,
             folded_polynomials_evaluations=folded_polynomials_evaluations,
