@@ -19,7 +19,8 @@ import numpy as np
 from ..fields import fp
 from ..fields.fp import FR
 from ..params import R
-from ..streaming.host import HostVector, VirtualHostVector
+from ..streaming.host import HostVector, VirtualHostVector, \
+    from_device_limbs, to_device_limbs
 from .r1cs import R1cs
 
 
@@ -120,8 +121,8 @@ class DummyR1csStream:
 
         def fn(start: int, end: int):
             import jax.numpy as jnp
-            t = jnp.asarray(tensor_block(challenges, start, end))
-            p = jnp.asarray(powers_block(alpha, start, end))
+            t = to_device_limbs(tensor_block(challenges, start, end))
+            p = to_device_limbs(powers_block(alpha, start, end))
             a = fp.mont_mul(FR, t, p)
             comb = fp.add(
                 FR,
@@ -133,7 +134,7 @@ class DummyR1csStream:
                 ),
             )
             import numpy as np
-            return np.asarray(comb)
+            return from_device_limbs(comb)
 
         return VirtualHostVector(self.n, fn)
 
@@ -217,9 +218,9 @@ class HostR1csStream:
             v[:, : hi - lo] = vals[:, lo:hi]
             zg = np.zeros((L, npad), dtype=np.uint32)
             zg[:, : hi - lo] = self.z.limbs[:, cols[lo:hi]]
-            prods = fp.mont_mul(FR, jnp.asarray(v), jnp.asarray(zg))
+            prods = fp.mont_mul(FR, to_device_limbs(v), to_device_limbs(zg))
             sums = segment_sum_field(FR, prods, jnp.asarray(seg), spad)
-            out[:, r_lo:r_hi] = np.asarray(sums[:, :span])
+            out[:, r_lo:r_hi] = from_device_limbs(sums[:, :span])
         return HostVector(out)
 
     def abc_tensored(self, challenges: List[int], alpha: int, eta: int,
@@ -270,9 +271,9 @@ class HostR1csStream:
                 live = np.zeros((npad,), dtype=bool)
                 live[: hi - lo] = True
                 rv = jnp.where(jnp.asarray(live)[None, :], rv, 0)
-                prods = fp.mont_mul(FR, jnp.asarray(v), rv)
+                prods = fp.mont_mul(FR, to_device_limbs(v), rv)
                 sums = segment_sum_field(FR, prods, jnp.asarray(seg), spad)
-                out[:, c_lo:c_hi] = np.asarray(sums[:, :span])
+                out[:, c_lo:c_hi] = from_device_limbs(sums[:, :span])
             outs.append(HostVector(out))
         return hv_lincomb(outs, [1, eta, eta2], block_size)
 

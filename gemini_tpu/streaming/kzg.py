@@ -36,7 +36,7 @@ from ..kzg.commit import CommitterKey, divide_linear, _apoint_slice, \
 from ..ops.msm import msm_mont_scalars
 from ..ops import poly
 from ..params import R
-from .host import HostVector
+from .host import HostVector, from_device_limbs, to_device_limbs
 
 G1Host = Optional[Tuple[int, int]]
 
@@ -106,7 +106,7 @@ def _lincomb_rev_blocks(hvs, coeffs, block_size: int):
                     [sl, np.zeros((L, m - sl.shape[1]), dtype=np.uint32)],
                     axis=1,
                 )
-            term = fp.mont_mul(FR, jnp.asarray(sl), c)
+            term = fp.mont_mul(FR, to_device_limbs(sl), c)
             acc = term if acc is None else fp.add(FR, acc, term)
         if acc is None:
             acc = jnp.zeros((L, m), jnp.uint32)
@@ -155,7 +155,7 @@ class CommitterKeyStream:
         if n == 0:
             return 0, None
         if x % R == 0:
-            ev = FR.decode(jnp.asarray(hv.slice(0, 1)))[0]
+            ev = FR.decode(hv.device_slice(0, 1))[0]
             acc = None
             for off, block in hv.blocks(blk):
                 qblock = block[:, 1:] if off == 0 else block
@@ -169,7 +169,7 @@ class CommitterKeyStream:
         stage = _DivideStage(x, n)
         acc = None
         for off in reversed(range(0, n, blk)):
-            block = jnp.asarray(hv.slice(off, min(off + blk, n)))
+            block = hv.device_slice(off, min(off + blk, n))
             qoff, qblock = stage.feed(off, block)
             if qblock.shape[1] == 0:
                 continue
@@ -223,11 +223,11 @@ class CommitterKeyStream:
                 raw = np.concatenate(
                     [raw, np.zeros((L, 1), dtype=np.uint32)], axis=1
                 )
-            fb = poly.fold_polynomial(FR, jnp.asarray(raw), rs)
+            fb = poly.fold_polynomial(FR, to_device_limbs(raw), rs)
             bases = self.bases(off // 2, fb.shape[1])
             part = msm_mont_scalars(bases, fb)
             acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
-            out[:, off // 2: off // 2 + fb.shape[1]] = np.asarray(fb)
+            out[:, off // 2: off // 2 + fb.shape[1]] = from_device_limbs(fb)
         return HostVector(out, hv.spec), acc
 
     def open_multi_points(self, hv: HostVector,
@@ -339,18 +339,18 @@ def divide_linear_stream(hv: HostVector, x: int,
     if n == 0:
         return 0, hv
     if n == 1:
-        return FR.decode(jnp.asarray(hv.slice(0, 1)))[0], \
+        return FR.decode(hv.device_slice(0, 1))[0], \
             HostVector(np.zeros((L, 0), dtype=np.uint32), hv.spec)
     if x % R == 0:
-        return FR.decode(jnp.asarray(hv.slice(0, 1)))[0], \
+        return FR.decode(hv.device_slice(0, 1))[0], \
             HostVector(np.asarray(hv.slice(1, n)), hv.spec)
     out = np.zeros((L, n - 1), dtype=np.uint32)
     stage = _DivideStage(x, n)
     for off in reversed(range(0, n, block_size)):
-        block = jnp.asarray(hv.slice(off, min(off + block_size, n)))
+        block = hv.device_slice(off, min(off + block_size, n))
         qoff, qblock = stage.feed(off, block)
         if qblock.shape[1]:
-            out[:, qoff: qoff + qblock.shape[1]] = np.asarray(qblock)
+            out[:, qoff: qoff + qblock.shape[1]] = from_device_limbs(qblock)
     return stage.evaluation(), HostVector(out, hv.spec)
 
 

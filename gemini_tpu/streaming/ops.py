@@ -19,7 +19,7 @@ from ..fields import fp
 from ..fields.fp import FR
 from ..ops import poly
 from ..params import R
-from .host import HostVector
+from .host import HostVector, from_device_limbs, to_device_limbs
 
 
 def hv_fold(hv: HostVector, r: int, block_size: int = 1 << 20) -> HostVector:
@@ -39,8 +39,8 @@ def hv_fold(hv: HostVector, r: int, block_size: int = 1 << 20) -> HostVector:
             raw = np.concatenate(
                 [raw, np.zeros((L, 1), dtype=np.uint32)], axis=1
             )
-        fb = poly.fold_polynomial(FR, jnp.asarray(raw), rs)
-        out[:, off // 2: off // 2 + fb.shape[1]] = np.asarray(fb)
+        fb = poly.fold_polynomial(FR, to_device_limbs(raw), rs)
+        out[:, off // 2: off // 2 + fb.shape[1]] = from_device_limbs(fb)
     return HostVector(out, hv.spec)
 
 
@@ -64,10 +64,10 @@ def hv_lincomb(hvs: Sequence[HostVector], coeffs: Sequence[int],
                     [sl, np.zeros((L, m - sl.shape[1]), dtype=np.uint32)],
                     axis=1,
                 )
-            term = fp.mont_mul(FR, jnp.asarray(sl), c)
+            term = fp.mont_mul(FR, to_device_limbs(sl), c)
             acc = term if acc is None else fp.add(FR, acc, term)
         if acc is not None:
-            out[:, off: off + m] = np.asarray(acc)
+            out[:, off: off + m] = from_device_limbs(acc)
     return HostVector(out, hvs[0].spec)
 
 
@@ -80,9 +80,9 @@ def hv_hadamard(a: HostVector, b: HostVector,
     out = np.zeros((L, n), dtype=np.uint32)
     for off in range(0, n, block_size):
         m = min(block_size, n - off)
-        pa = jnp.asarray(a.slice(off, off + m))
-        pb = jnp.asarray(b.slice(off, off + m))
-        out[:, off: off + m] = np.asarray(fp.mont_mul(FR, pa, pb))
+        pa = a.device_slice(off, off + m)
+        pb = b.device_slice(off, off + m)
+        out[:, off: off + m] = from_device_limbs(fp.mont_mul(FR, pa, pb))
     return HostVector(out, a.spec)
 
 
@@ -101,10 +101,10 @@ def hv_accumulated_product(hv: HostVector,
     carry = poly.scalar(FR, 1)
     for off in reversed(offs):
         m = min(block_size, n - off)
-        blockv = jnp.asarray(hv.slice(off, off + m))
+        blockv = hv.device_slice(off, off + m)
         acc = accumulated_product(blockv)  # suffix products inside block
         acc = fp.mont_mul(FR, acc, carry)
-        out[:, off: off + m] = np.asarray(acc)
+        out[:, off: off + m] = from_device_limbs(acc)
         carry = acc[:, :1]  # suffix product from `off` rightward
     return HostVector(out, hv.spec)
 
@@ -124,8 +124,8 @@ def hv_ip(a: HostVector, b: HostVector, block_size: int = 1 << 20) -> int:
     acc = 0
     for off in range(0, n, block_size):
         m = min(block_size, n - off)
-        pa = jnp.asarray(a.slice(off, off + m))
-        pb = jnp.asarray(b.slice(off, off + m))
+        pa = a.device_slice(off, off + m)
+        pb = b.device_slice(off, off + m)
         acc = (acc + poly.ip(FR, pa, pb)) % R
     return acc
 
@@ -158,7 +158,7 @@ def hv_tensor(challenges: Sequence[int],
         for j in range(low, k):
             if (hi >> (j - low)) & 1:
                 s = s * challenges[j] % R
-        out[:, off: off + blk] = np.asarray(
+        out[:, off: off + blk] = from_device_limbs(
             fp.mont_mul(FR, wlow, poly.scalar(FR, s))
         )
     return HostVector(out)
@@ -177,7 +177,7 @@ def tensor_block(challenges: Sequence[int], start: int,
         bit = jnp.asarray(((idx >> l) & 1).astype(np.uint32))
         mul = fp.mont_mul(FR, out, poly.scalar(FR, ch))
         out = jnp.where(bit[None, :] == 1, mul, out)
-    return np.asarray(out)
+    return from_device_limbs(out)
 
 
 def tensor_at(challenges: Sequence[int], idx: np.ndarray) -> jnp.ndarray:
@@ -211,7 +211,7 @@ def powers_at(x: int, idx: np.ndarray, n_bits: int) -> jnp.ndarray:
 def powers_block(x: int, start: int, end: int) -> np.ndarray:
     """Window [start, end) of [1, x, x^2, ...] as host limbs."""
     m = end - start
-    return np.asarray(fp.mont_mul(
+    return from_device_limbs(fp.mont_mul(
         FR, poly.powers(FR, x, m), poly.scalar(FR, pow(x, start, R))
     ))
 
@@ -225,7 +225,7 @@ def hv_powers(x: int, n: int, block_size: int = 1 << 20) -> HostVector:
         blockp = fp.mont_mul(
             FR, poly.powers(FR, x, m), poly.scalar(FR, pow(x, off, R))
         )
-        out[:, off: off + m] = np.asarray(blockp)
+        out[:, off: off + m] = from_device_limbs(blockp)
     return HostVector(out)
 
 
@@ -252,13 +252,13 @@ def hv_alg_hash(hv: HostVector, indices, zeta: int,
     zs = poly.scalar(FR, zeta)
     for off in range(0, n, block_size):
         m = min(block_size, n - off)
-        v = jnp.asarray(hv.slice(off, off + m))
+        v = hv.device_slice(off, off + m)
         if indices is None:
             idx = range(off, off + m)
         else:
             idx = np.asarray(indices[off: off + m], dtype=np.int64)
         idx_f = index_to_field(idx)
-        out[:, off: off + m] = np.asarray(
+        out[:, off: off + m] = from_device_limbs(
             fp.add(FR, v, fp.mont_mul(FR, idx_f, zs))
         )
     return HostVector(out, hv.spec)
@@ -278,22 +278,22 @@ def hv_plookup_set(hv: HostVector, y: int, z: int,
         return HostVector(out[:, :0], hv.spec)
     # head: y(1+z) + z*v_0
     out[:, :1] = np.asarray(
-        fp.add(FR, y1z, fp.mont_mul(FR, zs, jnp.asarray(hv.slice(0, 1))))
+        fp.add(FR, y1z, fp.mont_mul(FR, zs, hv.device_slice(0, 1)))
     )
     # trunk: slot i+1 = y(1+z) + v_i + z*v_{i+1}, i in [0, n-1)
     for off in range(0, n - 1, block_size):
         m = min(block_size, n - 1 - off)
-        v = jnp.asarray(hv.slice(off, off + m))
-        vn = jnp.asarray(hv.slice(off + 1, off + 1 + m))
+        v = hv.device_slice(off, off + m)
+        vn = hv.device_slice(off + 1, off + 1 + m)
         t = fp.add(
             FR,
             fp.add(FR, jnp.broadcast_to(y1z, v.shape), v),
             fp.mont_mul(FR, zs, vn),
         )
-        out[:, off + 1: off + 1 + m] = np.asarray(t)
+        out[:, off + 1: off + 1 + m] = from_device_limbs(t)
     # tail: y(1+z) + v_{n-1}
     out[:, n: n + 1] = np.asarray(
-        fp.add(FR, y1z, jnp.asarray(hv.slice(n - 1, n)))
+        fp.add(FR, y1z, hv.device_slice(n - 1, n))
     )
     return HostVector(out, hv.spec)
 
@@ -307,8 +307,8 @@ def hv_plookup_subset(hv: HostVector, y: int,
     ys = poly.scalar(FR, y)
     for off in range(0, n, block_size):
         m = min(block_size, n - off)
-        v = jnp.asarray(hv.slice(off, off + m))
-        out[:, off: off + m] = np.asarray(
+        v = hv.device_slice(off, off + m)
+        out[:, off: off + m] = from_device_limbs(
             fp.add(FR, v, jnp.broadcast_to(ys, v.shape))
         )
     return HostVector(out, hv.spec)

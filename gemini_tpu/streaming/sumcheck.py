@@ -39,7 +39,7 @@ from ..fields.fp import FR
 from ..ops import poly
 from ..params import R
 from ..subprotocols.sumcheck import TimeProver, required_rounds
-from .host import HostVector
+from .host import HostVector, to_device_limbs
 
 
 def _fold_weights(challenges: List[int], twisted: bool, twist: int):
@@ -145,7 +145,7 @@ class SpaceProver:
             raw = np.concatenate(
                 [raw, np.zeros((L, pad), dtype=np.uint32)], axis=1
             )
-        return jnp.asarray(raw)
+        return to_device_limbs(raw)
 
     def next_message(self, challenge: Optional[int]):
         if challenge is not None:
