@@ -86,12 +86,13 @@ def main():
           f"{lanes/dt/ (2*W):,.0f} pts/s (scan-dominated model)")
 
     # --- 2. one window chunk ---
+    pp = msm_mod._pack_xy(px, py)
     mags, negs = msm_mod.extract_signed_digits(scalars, c)
     mchunk, nchunk = mags[:Wc], negs[:Wc]
-    x, y, z = msm_mod._window_chunk(px, py, pinf, mchunk, nchunk, c, True)
+    x, y, z = msm_mod._window_chunk(pp, pinf, mchunk, nchunk, c, True)
     readback(x)
     t0 = time.time()
-    x, y, z = msm_mod._window_chunk(px, py, pinf, mchunk, nchunk, c, True)
+    x, y, z = msm_mod._window_chunk(pp, pinf, mchunk, nchunk, c, True)
     readback(x)
     dt_chunk = time.time() - t0
     import math as _math
@@ -101,19 +102,51 @@ def main():
           f"{dt_chunk/adds*1e9:.0f} ns/add effective)")
 
     # --- 2b. phase breakdown (tiny readbacks) ---
-    sg = jax.jit(msm_mod._sort_gather_proj)
-    gx, gy, gm, sd = sg(px, py, pinf, mchunk, nchunk)
+    sg = msm_mod._sort_gather_proj
+    gx, gy, gm, sd = sg(pp, pinf, mchunk, nchunk)
     readback(gx[:, :, :1])
     t0 = time.time()
-    gx, gy, gm, sd = sg(px, py, pinf, mchunk, nchunk)
+    gx, gy, gm, sd = sg(pp, pinf, mchunk, nchunk)
     readback(gx[:, :, :1], gy[:, :, :1], sd[:, :1])
     print(f"sort+gather: {(time.time()-t0)*1e3:.1f} ms")
+
+    # sort alone (key sort + iota payload, no coordinate gather)
+    @jax.jit
+    def sort_only(pinf, mchunk, nchunk):
+        key = ((mchunk << jnp.uint32(2))
+               | (nchunk.astype(jnp.uint32) << jnp.uint32(1))
+               | jnp.broadcast_to(pinf, mchunk.shape).astype(jnp.uint32))
+        iota = jnp.broadcast_to(
+            jnp.arange(mchunk.shape[1], dtype=jnp.int32), mchunk.shape)
+        skey, order = jax.lax.sort((key, iota), num_keys=1)
+        return skey[:, :1], order[:, :1]
+
+    s = sort_only(pinf, mchunk, nchunk)
+    readback(*s)
+    t0 = time.time()
+    s = sort_only(pinf, mchunk, nchunk)
+    readback(*s)
+    print(f"sort alone: {(time.time()-t0)*1e3:.1f} ms")
+
+    @jax.jit
+    def bound_only(sd):
+        return msm_mod._boundary_positions(sd, c)[:, :1]
+
+    b = bound_only(sd)
+    readback(b)
+    t0 = time.time()
+    b = bound_only(sd)
+    readback(b)
+    print(f"boundaries alone: {(time.time()-t0)*1e3:.1f} ms "
+          f"({os.environ.get('GEMINI_TPU_BOUND', 'hist')})")
 
     @jax.jit
     def scan_only(gx, gy, gm, sd):
         pos = msm_mod._boundary_positions(sd, c)
         out = msm_mod.ec_scan.prefix_sums_at(
-            gx[..., ::-1], gy[..., ::-1], gm[..., ::-1], pos)
+            gx, gy, gm, pos,
+            combiner=msm_mod.ec_scan.pallas_padd_points,
+            combiner01=msm_mod.ec_scan.pallas_padd01_points)
         return [v[..., :1] for v in out]
 
     s = scan_only(gx, gy, gm, sd)

@@ -50,6 +50,37 @@ def test_msm_edge_scalars():
     assert got == expect
 
 
+def test_msm_batch_prefixes():
+    """msm_batch (the fold-tree batch_commit pipeline) == one msm per
+    set, over PREFIXES of the same base array with mixed/odd sizes."""
+    from gemini_tpu.ops.msm import msm_batch
+
+    n = 21
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)]
+    base = encode_affine(pts)
+    sizes = [21, 9, 4, 1]
+    sets = [[rnd.randrange(R) for _ in range(s)] for s in sizes]
+    sets[1][0] = 0  # dead lane inside a shorter set
+    got = msm_batch(base, [_encode_scalars(ks) for ks in sets])
+    for ks, r in zip(sets, got):
+        assert decode_jacobian(r)[0] == g1_msm(pts[: len(ks)], ks)
+
+
+def test_fixed_base_msm_vs_scalar_muls():
+    """fixed_base_msm (SRS setup, packed-table tree reduction) against
+    per-scalar refimpl mults, incl. 0/1/R-1 edges."""
+    from gemini_tpu.kzg.commit import fixed_base_msm
+
+    base = g1_mul(G, rnd.randrange(1, R))
+    ks = [0, 1, R - 1, 2, rnd.randrange(R), 12345, 0, rnd.randrange(R)]
+    out = fixed_base_msm(base, _encode_scalars(ks))
+    from gemini_tpu.curve import g1 as g1mod
+
+    pts = g1mod.decode_affine(out)
+    for k, p in zip(ks, pts):
+        assert p == (g1_mul(base, k) if k else None)
+
+
 def test_msm_duplicate_digits_and_windows():
     # many equal scalars stress the segment machinery
     n = 64
