@@ -24,12 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gemini_tpu_bench_cache"),
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+from gemini_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gemini_tpu_bench_cache"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -97,6 +95,11 @@ def main():
         "value": round(pts_per_s, 1),
         "unit": "points/s/chip",
         "vs_baseline": round(pts_per_s / BASELINE_POINTS_PER_S, 4),
+        "baseline_source": (
+            "REPRESENTATIVE, NOT MEASURED: 5.0e6 pts/s for arkworks "
+            "msm_bigint (asm+parallel, 64-core CPU) at 2^20; the image "
+            "has no Rust toolchain and no egress to re-measure "
+            "(BASELINE.md)"),
         "detail": {
             "n": n,
             "best_s": round(best, 4),

@@ -26,14 +26,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: field/curve kernels are huge uint32
 # graphs; caching across test processes keeps the suite fast.
-# Overridable so a second concurrent pytest process can use a private
-# dir (concurrent writers to one cache dir can segfault, CLAUDE.md).
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("GEMINI_TPU_TEST_CACHE", "/tmp/gemini_tpu_jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# setup_compilation_cache quarantines the dir after an unclean exit
+# (poison entries segfault later readers) and transparently switches a
+# second concurrent pytest process to a private dir (concurrent
+# writers can segfault, CLAUDE.md).
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from gemini_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache(
+    os.environ.get("GEMINI_TPU_TEST_CACHE", "/tmp/gemini_tpu_jax_cache"))
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 
