@@ -52,7 +52,7 @@ LIMB_BITS = fp.LIMB_BITS
 from ..params import R as _R_FR
 
 
-def plan_window(n: int, n_bits: int = 255):
+def plan_window(n: int, n_bits: int = 255, max_scalar: int | None = None):
     """Pick (window size c, windows-per-chunk Wc) minimizing the
     pipeline's add count with SIGNED digits: W = ceil(n_bits/c) windows
     of magnitude ≤ 2^(c-1) (negative digits negate the point — free in
@@ -70,13 +70,15 @@ def plan_window(n: int, n_bits: int = 255):
     import math
     import os
 
+    if max_scalar is None:
+        max_scalar = _R_FR
     if n <= 32:
         return 3, 4
     best = None
     wc_env = os.environ.get("GEMINI_TPU_WC")
     for c in range(4, 21):
         w = -(-n_bits // c)
-        if (_R_FR >> (c * (w - 1))) + 1 > (1 << (c - 1)):
+        if (max_scalar >> (c * (w - 1))) + 1 > (1 << (c - 1)):
             continue  # top window could overflow under recode carry
         m = 1 << (c - 1)
         levels = max(0, int(math.log2(max(n // max(m, 1), 1))))
@@ -374,15 +376,16 @@ def _code_fingerprint() -> str:
         import os
 
         from ..curve import pallas_g1 as _pg
+        from . import glv as _glv
 
         h = hashlib.sha1()
-        for mod in (_pg, ec_scan):
+        for mod in (_pg, ec_scan, _glv):
             h.update(open(mod.__file__, "rb").read())
         h.update(open(__file__, "rb").read())
         # Kernel-shaping env knobs change the traced program without
         # changing any file hash.
         for knob in ("GEMINI_TPU_MM2", "GEMINI_TPU_MXU", "GEMINI_TPU_PTILE",
-                     "GEMINI_TPU_BOUND"):
+                     "GEMINI_TPU_BOUND", "GEMINI_TPU_GLV"):
             h.update(f"{knob}={os.environ.get(knob, '')};".encode())
         _CODE_FP = h.hexdigest()[:16]
     return _CODE_FP
@@ -441,8 +444,123 @@ def _window_chunk_call(pp, pinf, mags, negs, c: int, use_proj: bool):
     return fn(pp, pinf, mags, negs)
 
 
+def _use_glv(n_bits: int) -> bool:
+    """GLV halves the window count for full-size Fr scalars; skip it
+    for short scalars (the split only pays when windows halve).
+
+    Default OFF: the 2^21-lane window chunks the split produces
+    currently run ~2x slower per add than 2^20-lane chunks on the v5e
+    (same pathology as Wc>1 batching — see PERF.md), which eats the
+    halved-window win at the 2^20 benchmark size.  Flip with
+    GEMINI_TPU_GLV=1; correctness is tested on every run."""
+    import os
+
+    return os.environ.get("GEMINI_TPU_GLV", "0") == "1" and n_bits > 160
+
+
+def _glv_plan(n_lanes: int):
+    from . import glv as glv_mod
+
+    return plan_window(n_lanes, glv_mod.GLV_BITS,
+                       max_scalar=glv_mod.COMPONENT_BOUND)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _glv_window_digits(k1m, k1n, k2m, k2n, c: int):
+    """GLV component limbs -> per-window (mags, negs) over the DOUBLED
+    lane axis [P lanes | phi(P) lanes]; component signs fold into the
+    digit negation flags the sort consumes."""
+    from . import glv as glv_mod
+
+    m1, g1 = extract_signed_digits(k1m, c, glv_mod.GLV_BITS)
+    m2, g2 = extract_signed_digits(k2m, c, glv_mod.GLV_BITS)
+    g1 = jnp.logical_xor(g1, k1n[None, :])
+    g2 = jnp.logical_xor(g2, k2n[None, :])
+    return (jnp.concatenate([m1, m2], axis=1),
+            jnp.concatenate([g1, g2], axis=1))
+
+
+def _glv_double_points(points: APoint):
+    """[P | phi(P)] along the lane axis: phi scales x by beta (one
+    constant Montgomery multiply), y and infinity flags are shared."""
+    from . import glv as glv_mod
+
+    return APoint(
+        jnp.concatenate([points.x, glv_mod.endo_x(points.x)], axis=1),
+        jnp.concatenate([points.y, points.y], axis=1),
+        jnp.concatenate([points.inf, points.inf]),
+    )
+
+
+def _pad_points_scalars(points: APoint, scalars, npad: int):
+    n = points.x.shape[1]
+    if npad == n:
+        return points, scalars
+    pad = npad - n
+    points = APoint(
+        jnp.concatenate(
+            [points.x, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
+        jnp.concatenate(
+            [points.y, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
+        jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
+    )
+    scalars = jnp.concatenate(
+        [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], axis=1)
+    return points, scalars
+
+
+def _run_chunks(pp, pinf, mags, negs, c: int, window_chunk: int,
+                use_proj: bool):
+    """Dispatch the window-chunk pipeline over all windows; returns
+    (x, y, z) totals of shape (L, W) (projective when use_proj)."""
+    W = mags.shape[0]
+    tx, ty, tz = [], [], []
+    for w0 in range(0, W, window_chunk):
+        mchunk = mags[w0: w0 + window_chunk]
+        nchunk = negs[w0: w0 + window_chunk]
+        if mchunk.shape[0] < window_chunk:  # keep one compiled shape
+            fill = jnp.zeros(
+                (window_chunk - mchunk.shape[0], mchunk.shape[1]), jnp.uint32)
+            mchunk = jnp.concatenate([mchunk, fill], axis=0)
+            nchunk = jnp.concatenate([nchunk, fill.astype(bool)], axis=0)
+        x, y, z = _window_chunk_call(pp, pinf, mchunk, nchunk, c, use_proj)
+        tx.append(x)
+        ty.append(y)
+        tz.append(z)
+    return (
+        jnp.concatenate(tx, axis=1)[:, :W],
+        jnp.concatenate(ty, axis=1)[:, :W],
+        jnp.concatenate(tz, axis=1)[:, :W],
+    )
+
+
+def _msm_glv(points: APoint, scalars: jnp.ndarray,
+             c: int | None = None) -> JPoint:
+    """MSM via GLV split: 2N points (P, phi(P)) x 8 sixteen-bit windows
+    instead of N x 16 — the reduce chain is unchanged but sorts, bucket
+    overheads and per-chunk costs halve."""
+    from . import glv as glv_mod
+
+    n = points.x.shape[1]
+    npad = scan_util.bucket4(n, floor=256)
+    points, scalars = _pad_points_scalars(points, scalars, npad)
+    wc_plan = _glv_plan(2 * npad)
+    window_chunk = wc_plan[1]
+    if c is None:
+        c = wc_plan[0]
+    k1m, k1n, k2m, k2n = glv_mod.decompose(scalars)
+    mags, negs = _glv_window_digits(k1m, k1n, k2m, k2n, c)
+    dbl = _glv_double_points(points)
+    use_proj = _use_proj()
+    pp = _pack_xy(dbl.x, dbl.y)
+    totals = _run_chunks(pp, dbl.inf, mags, negs, c, window_chunk, use_proj)
+    if use_proj:
+        totals = _proj_to_jacobian(*totals)
+    return _horner_host(totals, c)
+
+
 def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
-        n_bits: int = 255) -> JPoint:
+        n_bits: int = 255, glv: bool | None = None) -> JPoint:
     """MSM over G1: sum_i scalars[i] * points[i].
 
     points: APoint batch (N,); scalars: (FR_LIMBS, N) canonical
@@ -451,6 +569,10 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
     a reduced Fr element).  Returns a JPoint with batch shape (1,).
     """
     n = points.x.shape[1]
+    if glv is None:
+        glv = _use_glv(n_bits)
+    if glv:
+        return _msm_glv(points, scalars, c)
     # Pad to a power-of-4 shape bucket with (infinity, 0) pairs — a
     # mathematical no-op that keeps every scan level at a power-of-two
     # shape AND collapses the distinct compiled pipelines across all
@@ -462,44 +584,12 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
     window_chunk = wc_plan[1]
     if c is None:
         c = wc_plan[0]
-    if npad != n:
-        pad = npad - n
-        points = APoint(
-            jnp.concatenate(
-                [points.x, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
-            jnp.concatenate(
-                [points.y, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
-            jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
-        )
-        scalars = jnp.concatenate(
-            [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], axis=1
-        )
+    points, scalars = _pad_points_scalars(points, scalars, npad)
     mags, negs = extract_signed_digits(scalars, c, n_bits)
-    W = mags.shape[0]
     use_proj = _use_proj()
     pp = _pack_xy(points.x, points.y)
-    tx, ty, tz = [], [], []
-    for w0 in range(0, W, window_chunk):
-        mchunk = mags[w0: w0 + window_chunk]
-        nchunk = negs[w0: w0 + window_chunk]
-        if mchunk.shape[0] < window_chunk:  # keep one compiled shape
-            fill = jnp.zeros(
-                (window_chunk - mchunk.shape[0], mchunk.shape[1]), jnp.uint32
-            )
-            mchunk = jnp.concatenate([mchunk, fill], axis=0)
-            nchunk = jnp.concatenate(
-                [nchunk, fill.astype(bool)], axis=0)
-        x, y, z = _window_chunk_call(
-            pp, points.inf, mchunk, nchunk, c, use_proj
-        )
-        tx.append(x)
-        ty.append(y)
-        tz.append(z)
-    totals = (
-        jnp.concatenate(tx, axis=1)[:, :W],
-        jnp.concatenate(ty, axis=1)[:, :W],
-        jnp.concatenate(tz, axis=1)[:, :W],
-    )
+    totals = _run_chunks(pp, points.inf, mags, negs, c, window_chunk,
+                         use_proj)
     if use_proj:
         totals = _proj_to_jacobian(*totals)
     return _horner_host(totals, c)
@@ -512,7 +602,7 @@ def msm_mont_scalars(points: APoint, scalars_mont: jnp.ndarray,
 
 
 def msm_batch(points: APoint, scalars_sets, c: int | None = None,
-              n_bits: int = 255):
+              n_bits: int = 255, glv: bool | None = None):
     """Many MSMs over PREFIXES of the same base array, as one pipeline.
 
     scalars_sets: list of (FR_LIMBS, n_i) canonical scalar arrays; set i
@@ -545,7 +635,14 @@ def msm_batch(points: APoint, scalars_sets, c: int | None = None,
                 [points.y, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
             jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
         )
-    wc_plan = plan_window(npad, n_bits)
+    if glv is None:
+        glv = _use_glv(n_bits)
+    if glv:
+        from . import glv as glv_mod
+
+        wc_plan = _glv_plan(2 * npad)
+    else:
+        wc_plan = plan_window(npad, n_bits)
     window_chunk = wc_plan[1]
     if c is None:
         c = wc_plan[0]
@@ -555,36 +652,22 @@ def msm_batch(points: APoint, scalars_sets, c: int | None = None,
             s = jnp.concatenate(
                 [s, jnp.zeros((s.shape[0], npad - s.shape[1]), jnp.uint32)],
                 axis=1)
-        m, g = extract_signed_digits(s, c, n_bits)
+        if glv:
+            k1m, k1n, k2m, k2n = glv_mod.decompose(s)
+            m, g = _glv_window_digits(k1m, k1n, k2m, k2n, c)
+        else:
+            m, g = extract_signed_digits(s, c, n_bits)
         mags_l.append(m)
         negs_l.append(g)
     W = mags_l[0].shape[0]
-    mags = jnp.concatenate(mags_l, axis=0)  # (S*W, npad)
+    mags = jnp.concatenate(mags_l, axis=0)  # (S*W, lanes)
     negs = jnp.concatenate(negs_l, axis=0)
-    SW = mags.shape[0]
+    if glv:
+        points = _glv_double_points(points)
     use_proj = _use_proj()
     pp = _pack_xy(points.x, points.y)
-    tx, ty, tz = [], [], []
-    for w0 in range(0, SW, window_chunk):
-        mchunk = mags[w0: w0 + window_chunk]
-        nchunk = negs[w0: w0 + window_chunk]
-        if mchunk.shape[0] < window_chunk:  # keep one compiled shape
-            fill = jnp.zeros(
-                (window_chunk - mchunk.shape[0], mchunk.shape[1]), jnp.uint32
-            )
-            mchunk = jnp.concatenate([mchunk, fill], axis=0)
-            nchunk = jnp.concatenate([nchunk, fill.astype(bool)], axis=0)
-        x, y, z = _window_chunk_call(
-            pp, points.inf, mchunk, nchunk, c, use_proj
-        )
-        tx.append(x)
-        ty.append(y)
-        tz.append(z)
-    totals = (
-        jnp.concatenate(tx, axis=1)[:, :SW],
-        jnp.concatenate(ty, axis=1)[:, :SW],
-        jnp.concatenate(tz, axis=1)[:, :SW],
-    )
+    totals = _run_chunks(pp, points.inf, mags, negs, c, window_chunk,
+                         use_proj)
     if use_proj:
         totals = _proj_to_jacobian(*totals)
     # ONE readback for all sets (each _horner_host np.asarray would be

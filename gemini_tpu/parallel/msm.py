@@ -35,8 +35,13 @@ from ..curve.g1 import APoint, JPoint
 from ..fields.fp import FQ
 from ..ops import scan as scan_util
 from ..ops.msm import (
+    _glv_double_points,
+    _glv_plan,
+    _glv_window_digits,
     _pack_xy,
+    _pad_points_scalars,
     _proj_to_jacobian,
+    _use_glv,
     _use_proj,
     _window_chunk,
     extract_signed_digits,
@@ -81,17 +86,32 @@ def msm_multichip(points: APoint, scalars: jnp.ndarray,
         return msm(points, scalars, c=c, n_bits=n_bits)
     devs = devs[:d]
     mesh = Mesh(np.array(devs), ("d",))
+    use_glv = _use_glv(n_bits)
 
     # Equal per-shard pow-4 buckets: every device runs the same local
     # shapes (ONE executable), padding lanes are (infinity, 0) pairs.
-    per = scan_util.bucket4(-(-n // d), floor=256)
-    npad = per * d
-    wc_plan = plan_window(per, n_bits)
+    # GLV doubles the lane count ([P | phi(P)]) BEFORE sharding — the
+    # shard body is identical either way.
+    lanes = 2 * n if use_glv else n
+    per = scan_util.bucket4(-(-lanes // d), floor=256)
+    npad_lanes = per * d
+    if use_glv:
+        from ..ops import glv as glv_mod
+
+        wc_plan = _glv_plan(npad_lanes)
+    else:
+        wc_plan = plan_window(per, n_bits)
     window_chunk = wc_plan[1]
     if c is None:
         c = wc_plan[0]
-    if npad != n:
-        pad = npad - n
+    if use_glv:
+        k1m, k1n, k2m, k2n = glv_mod.decompose(scalars)
+        mags, negs = _glv_window_digits(k1m, k1n, k2m, k2n, c)
+        points = _glv_double_points(points)
+    else:
+        mags, negs = extract_signed_digits(scalars, c, n_bits)
+    if npad_lanes != points.x.shape[1]:
+        pad = npad_lanes - points.x.shape[1]
         points = APoint(
             jnp.concatenate(
                 [points.x, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
@@ -99,10 +119,10 @@ def msm_multichip(points: APoint, scalars: jnp.ndarray,
                 [points.y, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
             jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
         )
-        scalars = jnp.concatenate(
-            [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], axis=1)
-
-    mags, negs = extract_signed_digits(scalars, c, n_bits)
+        mags = jnp.concatenate(
+            [mags, jnp.zeros((mags.shape[0], pad), jnp.uint32)], axis=1)
+        negs = jnp.concatenate(
+            [negs, jnp.zeros((negs.shape[0], pad), bool)], axis=1)
     W = mags.shape[0]
     use_proj = _use_proj()
     pp = _pack_xy(points.x, points.y)

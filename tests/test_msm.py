@@ -90,3 +90,72 @@ def test_msm_duplicate_digits_and_windows():
         got = decode_jacobian(
             msm(encode_affine(pts), _encode_scalars(ks), c=c))[0]
         assert got == g1_msm(pts, ks)
+
+
+def test_glv_decompose_exact():
+    """Device GLV decomposition vs host big-int math: reconstruction
+    mod r and the balanced component bound (ops/glv.py)."""
+    from gemini_tpu.ops import glv
+
+    ks = [rnd.randrange(R) for _ in range(61)] + [0, 1, R - 1, glv.Z2 // 2]
+    enc = _encode_scalars(ks)
+    k1m, k1n, k2m, k2n = [np.asarray(a) for a in glv.decompose(enc)]
+
+    def col_int(a, j):
+        return sum(int(v) << (16 * i) for i, v in enumerate(a[:, j]))
+
+    for j, k in enumerate(ks):
+        k1 = col_int(k1m, j) * (-1 if k1n[j] else 1)
+        k2 = col_int(k2m, j) * (-1 if k2n[j] else 1)
+        assert (k1 + k2 * glv.LAMBDA - k) % R == 0
+        assert abs(k1) < glv.COMPONENT_BOUND
+        assert abs(k2) < glv.COMPONENT_BOUND
+
+
+def test_glv_endomorphism():
+    """phi(P) = (beta*x, y) == lambda * P on the curve (host oracle)."""
+    from gemini_tpu.curve import g1 as g1_mod
+    from gemini_tpu.ops import glv
+    from gemini_tpu.fields import fp
+    from gemini_tpu.fields.fp import FQ
+
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(4)]
+    ap = encode_affine(pts)
+    phix = np.asarray(glv.endo_x(ap.x))
+    xs = FQ.decode(fp.to_mont(FQ, fp.from_mont(FQ, jnp.asarray(phix))))
+    for j, p in enumerate(pts):
+        lp = g1_mul(p, glv.LAMBDA)
+        assert (xs[j], p[1]) == lp
+
+
+def test_msm_glv_matches_plain():
+    """GLV-split MSM == plain MSM == host oracle, incl. edge scalars
+    and infinity points."""
+    n = 23
+    pts_raw = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)]
+    pts = pts_raw[:20] + [None] + pts_raw[21:]
+    ks = [rnd.randrange(R) for _ in range(n - 3)] + [0, 1, R - 1]
+    ap = encode_affine(pts)
+    sc = _encode_scalars(ks)
+    got_glv = decode_jacobian(msm(ap, sc, glv=True))[0]
+    got_plain = decode_jacobian(msm(ap, sc, glv=False))[0]
+    expect = g1_msm([p for p in pts if p is not None],
+                    [k for p, k in zip(pts, ks) if p is not None])
+    assert got_glv == got_plain == expect
+
+
+def test_msm_batch_glv_matches():
+    from gemini_tpu.ops.msm import msm_batch
+
+    base = [g1_mul(G, rnd.randrange(1, R)) for _ in range(20)]
+    ap = encode_affine(base)
+    sets = [
+        _encode_scalars([rnd.randrange(R) for _ in range(m)])
+        for m in (20, 7, 13)
+    ]
+    outs = msm_batch(ap, sets, glv=True)
+    for s, out in zip(sets, outs):
+        m = s.shape[1]
+        ks = [sum(int(v) << (16 * i) for i, v in enumerate(np.asarray(s)[:, j]))
+              for j in range(m)]
+        assert decode_jacobian(out)[0] == g1_msm(base[:m], ks)
