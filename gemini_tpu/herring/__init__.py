@@ -16,9 +16,14 @@ applies to Fr-side provers via the main sumcheck module.
 from .modules import FModule, G1Module, G2Module, PModule, GtModule
 from .sumcheck import ModuleSumcheck, ModuleTimeProver, ModuleWitness
 from .ipa import Crs, Vrs, InnerProductProof
+from .space import (
+    CrsStream, ModuleElasticProver, ModuleSpaceProver, folded_stream,
+)
 
 __all__ = [
     "FModule", "G1Module", "G2Module", "PModule", "GtModule",
     "ModuleSumcheck", "ModuleTimeProver", "ModuleWitness",
     "Crs", "Vrs", "InnerProductProof",
+    "CrsStream", "ModuleElasticProver", "ModuleSpaceProver",
+    "folded_stream",
 ]
