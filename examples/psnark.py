@@ -28,12 +28,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                       "/tmp/gemini_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    from gemini_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gemini_tpu_jax_cache"))
 
     from gemini_tpu.kzg.commit import CommitterKey, VerifierKey
     from gemini_tpu.relation import dummy_r1cs

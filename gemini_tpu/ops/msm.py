@@ -214,7 +214,9 @@ def _sort_gather_proj(pp, pinf, mags, negs):
            | (negs.astype(jnp.uint32) << jnp.uint32(1))
            | jnp.broadcast_to(pinf, (Wc, n)).astype(jnp.uint32))
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (Wc, n))
-    skey, order = jax.lax.sort((key, iota), num_keys=1)
+    # is_stable=False: any order within a digit group is valid (the
+    # scan is a sum) and the unstable network is ~10% faster (PERF.md).
+    skey, order = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
     order_f = order[:, ::-1]
     g = pp[:, order_f]  # (24, Wc, n): packed x | y, descending digits
     gx = _unpack_half(g[:12])
@@ -596,9 +598,16 @@ def msm(points: APoint, scalars: jnp.ndarray, c: int | None = None,
 
 
 def msm_mont_scalars(points: APoint, scalars_mont: jnp.ndarray,
-                     c: int | None = None) -> JPoint:
-    """MSM taking Montgomery-form Fr scalars (the prover's native form)."""
-    return msm(points, fp.from_mont(FR, scalars_mont), c)
+                     c: int | None = None, devices=None) -> JPoint:
+    """MSM taking Montgomery-form Fr scalars (the prover's native form).
+    With `devices` (2+), partials run data-parallel across the mesh
+    via shard_map (parallel/msm.py)."""
+    sc = fp.from_mont(FR, scalars_mont)
+    if devices is not None and len(devices) > 1:
+        from ..parallel.msm import msm_multichip
+
+        return msm_multichip(points, sc, devices=devices, c=c)
+    return msm(points, sc, c)
 
 
 def msm_batch(points: APoint, scalars_sets, c: int | None = None,

@@ -117,9 +117,17 @@ class CommitterKeyStream:
     """Streaming flavour of CommitterKey (kzg/space.rs:59)."""
 
     def __init__(self, ck: CommitterKey,
-                 max_msm_buffer: int = 1 << MAX_MSM_BUFFER_LOG):
+                 max_msm_buffer: int = 1 << MAX_MSM_BUFFER_LOG,
+                 mesh=None):
         self.ck = ck
         self.max_msm_buffer = max_msm_buffer
+        self.devices = (
+            list(mesh.devices.flatten()) if mesh is not None else None)
+
+    def _msm(self, bases, scalars_mont):
+        """Partial MSM, multi-chip when a mesh was supplied (VERDICT r3
+        item 8: the elastic provers' commits scale across chips too)."""
+        return msm_mont_scalars(bases, scalars_mont, devices=self.devices)
 
     def bases(self, off: int, m: int):
         """SRS G1 window [off, off+m) — override point for synthetic
@@ -131,7 +139,7 @@ class CommitterKeyStream:
         acc = None
         for off, block in hv.blocks(self.max_msm_buffer):
             bases = self.bases(off, block.shape[1])
-            part = msm_mont_scalars(bases, block)
+            part = self._msm(bases, block)
             pt = g1.decode_jacobian(part)[0]
             acc = _g1_add_host(acc, pt)
         return acc
@@ -163,7 +171,7 @@ class CommitterKeyStream:
                 if qblock.shape[1] == 0:
                     continue
                 bases = self.bases(base_off, qblock.shape[1])
-                part = msm_mont_scalars(bases, qblock)
+                part = self._msm(bases, qblock)
                 acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
             return ev, acc
         stage = _DivideStage(x, n)
@@ -174,7 +182,7 @@ class CommitterKeyStream:
             if qblock.shape[1] == 0:
                 continue
             bases = self.bases(qoff, qblock.shape[1])
-            part = msm_mont_scalars(bases, qblock)
+            part = self._msm(bases, qblock)
             acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
         return stage.evaluation(), acc
 
@@ -225,7 +233,7 @@ class CommitterKeyStream:
                 )
             fb = poly.fold_polynomial(FR, to_device_limbs(raw), rs)
             bases = self.bases(off // 2, fb.shape[1])
-            part = msm_mont_scalars(bases, fb)
+            part = self._msm(bases, fb)
             acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
             out[:, off // 2: off // 2 + fb.shape[1]] = from_device_limbs(fb)
         return HostVector(out, hv.spec), acc
@@ -274,7 +282,7 @@ class CommitterKeyStream:
             if block.shape[1] == 0:
                 continue
             bases = self.bases(off, block.shape[1])
-            part = msm_mont_scalars(bases, block)
+            part = self._msm(bases, block)
             acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
         return acc
 
@@ -291,9 +299,13 @@ class FakeCommitterKeyStream(CommitterKeyStream):
     still check them."""
 
     def __init__(self, max_eval_points: int = 4, seed: int = 0,
-                 max_msm_buffer: int = 1 << MAX_MSM_BUFFER_LOG):
+                 max_msm_buffer: int = 1 << MAX_MSM_BUFFER_LOG,
+                 mesh=None):
         import random
         from types import SimpleNamespace
+
+        self.devices = (
+            list(mesh.devices.flatten()) if mesh is not None else None)
 
         from ..refimpl import g1_generator, g1_mul, g2_generator, g2_mul
 

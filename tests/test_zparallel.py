@@ -116,3 +116,35 @@ def test_dryrun_multichip_wallclock():
     __graft_entry__.dryrun_multichip(8)
     elapsed = time.time() - t0
     assert elapsed < 420, f"dryrun_multichip(8) took {elapsed:.0f}s"
+
+
+def test_streaming_committer_mesh_matches():
+    """CommitterKeyStream with mesh= (multi-chip partial MSMs) produces
+    identical commitments AND an identical elastic SNARK proof
+    (VERDICT r3 item 8)."""
+    import jax.numpy as jnp
+    from gemini_tpu.kzg.commit import CommitterKey, VerifierKey
+    from gemini_tpu.relation import dummy_r1cs
+    from gemini_tpu.snark import Proof
+    from gemini_tpu.streaming import CommitterKeyStream
+    from gemini_tpu.streaming.host import HostVector
+    from gemini_tpu.fields.fp import FR
+
+    n = 32
+    ck = CommitterKey.new(max_degree=n, max_eval_points=3, seed=3)
+    coeffs = [rnd.randrange(R) for _ in range(n)]
+    hv = HostVector.from_ints(coeffs)
+    plain = CommitterKeyStream(ck, max_msm_buffer=8)
+    meshed = CommitterKeyStream(ck, max_msm_buffer=8, mesh=default_mesh(8))
+    assert plain.commit(hv) == meshed.commit(hv)
+    x = rnd.randrange(R)
+    ev1, pr1 = plain.open(hv, x)
+    ev2, pr2 = meshed.open(hv, x)
+    assert (ev1, pr1) == (ev2, pr2)
+
+    r1cs = dummy_r1cs(random.Random(8), n)
+    vk = VerifierKey.from_committer_key(ck)
+    pe_plain = Proof.new_elastic(r1cs, plain)
+    pe_mesh = Proof.new_elastic(r1cs, meshed)
+    assert pe_plain == pe_mesh
+    pe_mesh.verify(r1cs, vk)
