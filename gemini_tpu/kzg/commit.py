@@ -61,6 +61,29 @@ def _apoint_gather(a: APoint, idx) -> APoint:
     return APoint(a.x[:, idx], a.y[:, idx], a.inf[idx])
 
 
+_FB_JIT: dict = {}
+
+
+def _fb_tree_cached(tblp, tbl_inf, idx, use_proj: bool):
+    """`_fb_tree` through the disk trace cache (utils/xjit.py): the
+    gather + log2(W)-level pallas tree re-traces per (table, block)
+    shape each process — tens of seconds of warm SRS-setup cost."""
+    import sys as _sys
+
+    from ..curve import pallas_g1 as _pg
+    from ..ops import ec_scan as _ec
+    from ..utils import xjit
+
+    fn = _FB_JIT.get(use_proj)
+    if fn is None:
+        fn = jax.jit(lambda a, b, c: _fb_tree(a, b, c, use_proj))
+        _FB_JIT[use_proj] = fn
+    return xjit.export_cached(
+        "fb_tree", fn, (_sys.modules[__name__], _pg, _ec, fp),
+        tblp, tbl_inf, idx, statics=(use_proj,),
+    )
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _fb_tree(tblp, tbl_inf, idx, use_proj: bool):
     """One packed gather of every window's table entry + a tree
@@ -148,7 +171,7 @@ def fixed_base_msm(base: G1Host, scalars_canonical: jnp.ndarray,
                  + offs],
                 axis=1,
             )
-        outs.append(_fb_tree(tblp, tbl_inf, blk, use_proj))
+        outs.append(_fb_tree_cached(tblp, tbl_inf, blk, use_proj))
     x = jnp.concatenate([o[0] for o in outs], axis=1)[:, :n]
     y = jnp.concatenate([o[1] for o in outs], axis=1)[:, :n]
     z = jnp.concatenate([o[2] for o in outs], axis=1)[:, :n]

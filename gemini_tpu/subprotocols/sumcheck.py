@@ -114,8 +114,7 @@ def _round_message_kernel(f, g, t_pow, twist):
     )
 
 
-@partial(jax.jit, static_argnums=(6,))
-def _fused_round_kernel(f, g, t_pow, r, r_twist, twist_next, b_out: int):
+def _fused_round_body(f, g, t_pow, r, r_twist, twist_next, b_out: int):
     """Fold + next round message as ONE dispatch (the per-round
     Fiat-Shamir hot path: one kernel down, one (2, L+2) readback up —
     VERDICT round-1 item 10; the ~9 ms tunnel round trip dominated
@@ -123,6 +122,65 @@ def _fused_round_kernel(f, g, t_pow, r, r_twist, twist_next, b_out: int):
     f2, g2, t2 = _fold_kernel(f, g, t_pow, r, r_twist, b_out)
     a, b = _round_message_kernel(f2, g2, t2, twist_next)
     return f2, g2, t2, jnp.stack([a, b])
+
+
+_fused_round_kernel = jax.jit(_fused_round_body, static_argnums=(6,))
+
+# Disk trace cache (utils/xjit.py): Python re-tracing of the sumcheck
+# kernels per pow-4 shape bucket was the dominant *warm* prover cost
+# once the MSM pipeline got its export cache (PERF.md round-3 record:
+# warm 2^14 SNARK 348 s, mostly re-tracing of non-MSM stages).  Per
+# (shape, b_out) instance the fused round is exported ONCE to disk as
+# StableHLO and deserialized by later processes.
+_XJIT_MEM: dict = {}
+
+
+def _xjit_mods():
+    import sys as _sys
+
+    from ..ops import scan as _scan
+
+    return (_sys.modules[__name__], fp, poly, _scan)
+
+
+def _fused_round_cached(f, g, t_pow, r, r_twist, twist_next, b_out: int):
+    from ..utils import xjit
+
+    fn = _XJIT_MEM.get(("fused", b_out))
+    if fn is None:
+        fn = jax.jit(
+            lambda a1, a2, a3, a4, a5, a6: _fused_round_body(
+                a1, a2, a3, a4, a5, a6, b_out
+            )
+        )
+        _XJIT_MEM[("fused", b_out)] = fn
+    return xjit.export_cached(
+        "sc_fused", fn, _xjit_mods(), f, g, t_pow, r, r_twist, twist_next,
+        statics=(b_out,),
+    )
+
+
+def _round_message_cached(f, g, t_pow, twist):
+    from ..utils import xjit
+
+    return xjit.export_cached(
+        "sc_msg", _round_message_kernel, _xjit_mods(), f, g, t_pow, twist
+    )
+
+
+def _fold_cached(f, g, t_pow, r, r_twist, b_out: int):
+    from ..utils import xjit
+
+    fn = _XJIT_MEM.get(("fold", b_out))
+    if fn is None:
+        fn = jax.jit(
+            lambda a1, a2, a3, a4, a5: _fold_kernel(a1, a2, a3, a4, a5, b_out)
+        )
+        _XJIT_MEM[("fold", b_out)] = fn
+    return xjit.export_cached(
+        "sc_fold", fn, _xjit_mods(), f, g, t_pow, r, r_twist,
+        statics=(b_out,),
+    )
 
 
 @partial(jax.jit, static_argnums=(5,))
@@ -172,7 +230,7 @@ class TimeProver:
         r_twist = poly.scalar(FR, r * self.twist % R)
         if self.n > 1:
             self.n //= 2
-            self.f, self.g, self.t_pow = _fold_kernel(
+            self.f, self.g, self.t_pow = _fold_cached(
                 self.f, self.g, self.t_pow, poly.scalar(FR, r), r_twist,
                 scan_util.bucket4(self.n),
             )
@@ -189,7 +247,7 @@ class TimeProver:
                 r_twist = poly.scalar(FR, challenge * self.twist % R)
                 twist_next = self.twist * self.twist % R
                 self.n //= 2
-                self.f, self.g, self.t_pow, ab = _fused_round_kernel(
+                self.f, self.g, self.t_pow, ab = _fused_round_cached(
                     self.f, self.g, self.t_pow,
                     poly.scalar(FR, challenge), r_twist,
                     poly.scalar(FR, twist_next),
@@ -202,7 +260,7 @@ class TimeProver:
         if self.round == self.tot_rounds:
             return None
         tw = poly.scalar(FR, self.twist)
-        a, b = _round_message_kernel(self.f, self.g, self.t_pow, tw)
+        a, b = _round_message_cached(self.f, self.g, self.t_pow, tw)
         self.round += 1
         return jnp.stack([a, b])
 
