@@ -26,5 +26,6 @@ from .curve import (
     g1_is_on_curve,
     g2_is_on_curve,
     g1_msm,
+    g1_msm_pippenger,
 )
 from .pairing import pairing, miller_loop, final_exponentiation, gt_pow

@@ -95,6 +95,34 @@ def g1_msm(points, scalars) -> G1Affine:
     return acc
 
 
+def g1_msm_pippenger(points, scalars, c: int = 8,
+                     n_bits: int = 255) -> G1Affine:
+    """Bucketed host MSM (the variable_base.rs:99-136 algorithm:
+    window digits -> bucket accumulation -> running-sum finalize).
+    ~ceil(n_bits/c) * (n + 2^(c+1)) affine adds instead of the naive
+    ~1.5*n_bits per scalar — the host fallback for protocol-scale MSMs
+    on the CPU backend (ops/msm.py), where compiling the full TPU
+    pipeline for a tiny n dominates fresh-environment suite time."""
+    ks = [int(s) for s in scalars]
+    acc: G1Affine = None
+    for w0 in reversed(range(0, n_bits, c)):
+        if acc is not None:
+            for _ in range(c):
+                acc = g1_double(acc)
+        buckets: list = [None] * (1 << c)
+        for p, k in zip(points, ks):
+            d = (k >> w0) & ((1 << c) - 1)
+            if d and p is not None:
+                buckets[d] = g1_add(buckets[d], p)
+        run: G1Affine = None
+        win: G1Affine = None
+        for b in reversed(range(1, 1 << c)):
+            run = g1_add(run, buckets[b])
+            win = g1_add(win, run)
+        acc = g1_add(acc, win)
+    return acc
+
+
 def g2_neg(p: G2Affine) -> G2Affine:
     if p is None:
         return None

@@ -5,6 +5,7 @@ import random
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gemini_tpu.params import R
 from gemini_tpu.refimpl import g1_generator, g1_mul, g1_msm
@@ -14,6 +15,14 @@ from gemini_tpu.ops.msm import msm, extract_digits
 
 rnd = random.Random(5)
 G = g1_generator()
+
+
+@pytest.fixture(autouse=True)
+def _force_device_msm(monkeypatch):
+    """These tests gate the DEVICE pipeline; disable the CPU-backend
+    small-n host fallback (ops/msm.py _host_msm_max) or they would
+    compare refimpl against itself."""
+    monkeypatch.setenv("GEMINI_TPU_HOST_MSM_MAX", "0")
 
 
 def _encode_scalars(ks):
@@ -28,6 +37,29 @@ def test_extract_digits_roundtrip():
         for j, k in enumerate(ks):
             rec = sum(int(digits[w, j]) << (c * w) for w in range(digits.shape[0]))
             assert rec == k
+
+
+def test_host_pippenger_matches_naive():
+    from gemini_tpu.refimpl import g1_msm_pippenger
+
+    n = 30
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)] + [None]
+    ks = [rnd.randrange(R) for _ in range(n)] + [5]
+    assert g1_msm_pippenger(pts, ks) == g1_msm(pts, ks)
+    assert g1_msm_pippenger([], []) is None
+
+
+def test_msm_host_fallback_matches_kernel(monkeypatch):
+    """The CPU small-n host fallback must agree with the device
+    pipeline bit-for-bit (same JPoint decode)."""
+    n = 33
+    pts = [g1_mul(G, rnd.randrange(1, R)) for _ in range(n)]
+    ks = [rnd.randrange(R) for _ in range(n)]
+    ap, sc = encode_affine(pts), _encode_scalars(ks)
+    kernel = decode_jacobian(msm(ap, sc))[0]
+    monkeypatch.setenv("GEMINI_TPU_HOST_MSM_MAX", "4096")
+    host = decode_jacobian(msm(ap, sc))[0]
+    assert kernel == host
 
 
 def test_msm_small_exact():
