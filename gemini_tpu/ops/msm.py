@@ -660,6 +660,8 @@ def msm_batch(points: APoint, scalars_sets, c: int | None = None,
     if not sets:
         return []
     nmax = max(s.shape[1] for s in sets)
+    navail = points.x.shape[1]
+    assert nmax <= navail, f"scalar length {nmax} exceeds base count {navail}"
     if nmax <= _host_msm_max():
         return [
             _msm_host(
@@ -668,8 +670,6 @@ def msm_batch(points: APoint, scalars_sets, c: int | None = None,
             for s in sets
         ]
     npad = scan_util.bucket4(max(nmax, 1), floor=256)
-    navail = points.x.shape[1]
-    assert nmax <= navail, f"scalar length {nmax} exceeds base count {navail}"
     if navail >= npad:
         points = APoint(points.x[:, :npad], points.y[:, :npad],
                         points.inf[:npad])

@@ -33,14 +33,28 @@ _FP: dict = {}
 
 
 def _fingerprint(mods: Sequence) -> str:
-    key = tuple(id(m) for m in mods)
-    fp = _FP.get(key)
+    """Package-wide source hash.  Traced programs reach transitively
+    into ops/curve/fields modules the call sites don't list (ADVICE r4:
+    a stale fingerprint silently deserializes old StableHLO on TPU), so
+    the fingerprint covers EVERY .py under gemini_tpu/ — any source
+    edit invalidates every cached export.  `mods` is kept in the
+    signature for call-site documentation but no longer scopes the key.
+    """
+    fp = _FP.get("pkg")
     if fp is None:
+        import gemini_tpu
+
+        pkg_dir = os.path.dirname(gemini_tpu.__file__)
         h = hashlib.sha1()
-        for m in mods:
-            h.update(open(m.__file__, "rb").read())
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    h.update(p.encode())
+                    h.update(open(p, "rb").read())
         fp = h.hexdigest()[:16]
-        _FP[key] = fp
+        _FP["pkg"] = fp
     return fp
 
 

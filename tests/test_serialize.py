@@ -49,3 +49,72 @@ def test_snark_proof_bytes_deterministic():
     b1 = ser.snark_proof_bytes(p1)
     b2 = ser.snark_proof_bytes(p2)
     assert b1 == b2 and len(b1) > 200
+
+
+def test_g1_compressed_roundtrip():
+    G = g1_generator()
+    pts = [None, G] + [g1_mul(G, rnd.randrange(1, R)) for _ in range(8)]
+    for p in pts:
+        b = ser.g1_compressed(p)
+        assert ser.g1_from_compressed(b) == p
+
+
+def test_g1_compressed_rejects_off_curve():
+    import pytest
+
+    # x = 1: 1 + 4 = 5 is a QR? Find an x whose rhs is a non-residue.
+    for x in range(1, 50):
+        rhs = (x * x * x + 4) % Q
+        if pow(rhs, (Q - 1) // 2, Q) != 1:
+            b = bytearray(ser.fq_to_bytes(x))
+            with pytest.raises(ser.DeserializationError):
+                ser.g1_from_compressed(bytes(b))
+            break
+    else:
+        raise AssertionError("no non-residue x found in range")
+
+
+def test_snark_proof_roundtrip_and_verify():
+    from gemini_tpu.kzg.commit import CommitterKey, VerifierKey
+    from gemini_tpu.relation import dummy_r1cs
+    from gemini_tpu.snark import Proof
+
+    r1 = dummy_r1cs(rnd, 8)
+    ck = CommitterKey.new(max_degree=8, max_eval_points=3, seed=1)
+    p = Proof.new_time(r1, ck)
+    b = ser.snark_proof_bytes(p)
+    p2 = ser.snark_proof_from_bytes(b)
+    assert p2 == p
+    assert ser.snark_proof_bytes(p2) == b
+    # The deserialized proof must verify like the in-process object.
+    vk = VerifierKey.from_committer_key(ck)
+    p2.verify(r1, vk)
+    # Tampered bytes must not parse into a verifying proof.
+    import pytest
+
+    bad = bytearray(b)
+    bad[60] ^= 1  # inside zc_alpha
+    try:
+        p3 = ser.snark_proof_from_bytes(bytes(bad))
+    except ser.DeserializationError:
+        return
+    with pytest.raises(Exception):
+        p3.verify(r1, vk)
+
+
+def test_psnark_proof_roundtrip():
+    from gemini_tpu.kzg.commit import CommitterKey
+    from gemini_tpu.psnark import Proof, index
+    from gemini_tpu.relation import random_r1cs
+    from gemini_tpu.relation.r1cs import joint_matrices
+
+    r1 = random_r1cs(rnd, 8, row_nnz=2)
+    jm = joint_matrices(r1)
+    degree = 8 + jm.num_non_zero + 8
+    ck = CommitterKey.new(max_degree=degree, max_eval_points=3, seed=13)
+    idx = index(ck, r1)
+    p = Proof.new_time(ck, r1, idx)
+    b = ser.psnark_proof_bytes(p)
+    p2 = ser.psnark_proof_from_bytes(b)
+    assert p2 == p
+    assert ser.psnark_proof_bytes(p2) == b
