@@ -19,6 +19,11 @@ def main():
     ap.add_argument("-i", "--instance-logsize", type=int, default=8)
     ap.add_argument("--elastic", action="store_true",
                     help="space-efficient prover (bounded device memory)")
+    ap.add_argument("--giant", action="store_true",
+                    help="elastic prover over a streaming relation with "
+                    "the tau=1 synthetic SRS (examples/psnark.rs:54-68 "
+                    "giant-instance path; no dense relation or real key "
+                    "is ever materialized)")
     ap.add_argument("--msm-buffer-log", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -40,6 +45,32 @@ def main():
 
     n = 1 << args.instance_logsize
     rng = random.Random(0)
+
+    if args.giant:
+        from gemini_tpu.psnark import index_stream
+        from gemini_tpu.relation.stream import DummyR1csStream
+        from gemini_tpu.params import R
+        from gemini_tpu.streaming import FakeCommitterKeyStream
+
+        stream = DummyR1csStream(n, rng.randrange(1, R))
+        cks = FakeCommitterKeyStream(
+            max_eval_points=3, seed=0,
+            max_msm_buffer=1 << args.msm_buffer_log)
+        t0 = time.time()
+        idx = index_stream(cks, stream)
+        index_t = time.time() - t0
+        with MemoryWatcher() as mem:
+            t0 = time.time()
+            proof = Proof.new_elastic(
+                cks, stream, idx, block_size=1 << args.msm_buffer_log)
+            prove_t = time.time() - t0
+        size = len(psnark_proof_bytes(proof))
+        print(f"indexer time:  {index_t:.2f} s")
+        print(f"prover time:   {prove_t:.2f} s")
+        print(f"proof size:    {size} B (compressed)")
+        print(f"peak rss:      {mem.peak / 2**20:.1f} MiB")
+        return
+
     r1cs = dummy_r1cs(rng, n)
     jm = joint_matrices(r1cs)
     ck = CommitterKey.new(

@@ -14,7 +14,8 @@ from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 from ..params import R
-from ..refimpl import g1_generator, g2_generator, g1_mul, g2_mul
+from ..refimpl import g1_generator, g2_generator
+from ..hostcurve import g1_mul, g2_mul
 from ..serialize import fq_to_bytes
 from ..transcript import GeminiTranscript
 from .modules import (
@@ -69,14 +70,14 @@ class Crs:
     def commit_g1(self, scalars: List[int]):
         assert len(self.g1s) > len(scalars)
         acc = None
-        from ..refimpl import g1_add
+        from ..hostcurve import g1_add
         for g, s in zip(self.g1s, scalars):
             acc = g1_add(acc, g1_mul(g, s % R))
         return acc
 
     def commit_g2(self, scalars: List[int]):
         assert len(self.g2s) > len(scalars)
-        from ..refimpl import g2_add
+        from ..hostcurve import g2_add
         acc = None
         for g, s in zip(self.g2s, scalars):
             acc = g2_add(acc, g2_mul(g, s % R))
@@ -91,7 +92,7 @@ class Crs:
         return Crs(self.g1s[:h1], self.g2s[:h2])
 
     def fold(self, challenge: int) -> "Crs":
-        from ..refimpl import g1_add, g2_add
+        from ..hostcurve import g1_add, g2_add
         g1s, g2s = [], []
         for i in range(0, len(self.g1s), 2):
             lo = self.g1s[i]

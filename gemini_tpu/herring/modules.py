@@ -9,10 +9,8 @@ PairingOutput)."""
 from __future__ import annotations
 
 from ..params import R
-from ..refimpl import (
-    Fq12, g1_add, g1_mul, g2_add, g2_mul, pairing, gt_pow,
-    g1_generator, g2_generator,
-)
+from ..refimpl import Fq12, gt_pow, g1_generator, g2_generator
+from ..hostcurve import g1_add, g1_mul, g2_add, g2_mul, pairing
 
 
 class FModule:

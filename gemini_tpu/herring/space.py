@@ -198,7 +198,7 @@ class CrsStream:
             yield next(it)
 
     def commit_g1(self, scalars):
-        from ..refimpl import g1_add, g1_mul
+        from ..hostcurve import g1_add, g1_mul
 
         acc = None
         for g, s in zip(self._take(self.g1s, self.len1), scalars):
@@ -206,7 +206,7 @@ class CrsStream:
         return acc
 
     def commit_g2(self, scalars):
-        from ..refimpl import g2_add, g2_mul
+        from ..hostcurve import g2_add, g2_mul
 
         acc = None
         for g, s in zip(self._take(self.g2s, self.len2), scalars):

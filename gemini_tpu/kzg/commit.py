@@ -39,9 +39,9 @@ from ..curve import g1
 from ..curve.g1 import APoint, JPoint
 from ..ops import poly, scan
 from ..ops.msm import extract_digits, msm_batch, msm_mont_scalars
-from ..refimpl import (
-    g1_add, g1_generator, g1_mul, g1_neg, g2_generator, g2_mul, g2_add,
-    g2_neg, pairing,
+from ..refimpl import g1_generator, g2_generator
+from ..hostcurve import (
+    g1_add, g1_mul, g1_neg, g2_mul, g2_add, g2_neg, pairing, g1_msm,
 )
 
 G1Host = Optional[Tuple[int, int]]
@@ -301,16 +301,22 @@ class CommitterKey:
         polys = list(polys)
         if not polys:
             return []
-        if self.devices is not None and len(self.devices) > 1:
-            return [self.commit(p) for p in polys]  # multichip path
         nmax = max(p.shape[1] for p in polys)
         assert nmax <= self.powers_of_g.x.shape[1], (
             f"polynomial length {nmax} exceeds SRS size "
             f"{self.powers_of_g.x.shape[1]}"
         )
-        results = msm_batch(
-            self.powers_of_g, [fp.from_mont(FR, p) for p in polys]
-        )
+        if self.devices is not None and len(self.devices) > 1:
+            from ..parallel.msm import msm_batch_multichip
+
+            results = msm_batch_multichip(
+                self.powers_of_g, [fp.from_mont(FR, p) for p in polys],
+                devices=self.devices,
+            )
+        else:
+            results = msm_batch(
+                self.powers_of_g, [fp.from_mont(FR, p) for p in polys]
+            )
         return [g1.decode_jacobian(r)[0] for r in results]
 
     def open(self, coeffs: jnp.ndarray, alpha: int):
@@ -385,13 +391,8 @@ class VerifierKey:
             interp = _interpolate(eval_points, evals)
             for k, ck_ in enumerate(interp):
                 i_poly[k] = (i_poly[k] + eta * ck_) % R
-        i_comm = None
-        for cf, gp in zip(i_poly, self.powers_of_g):
-            term = g1_mul(gp, cf)
-            i_comm = g1_add(i_comm, term)
-        f_comm = None
-        for cm, eta in zip(commitments, etas):
-            f_comm = g1_add(f_comm, g1_mul(cm, eta))
+        i_comm = g1_msm(list(self.powers_of_g[:len(i_poly)]), i_poly)
+        f_comm = g1_msm(list(commitments), list(etas))
         lhs = g1_add(f_comm, g1_neg(i_comm) if i_comm is not None else None)
         if pairing(lhs, self.powers_of_g2[0]) != pairing(proof, zeros):
             raise KZGVerificationError("multi-point KZG check failed")

@@ -159,7 +159,7 @@ def _horner_host(totals_jac, c: int) -> JPoint:
     minutes cold on TPU, per distinct W).  Host cost: c*(W-1) affine
     doublings ≈ sub-millisecond, overlapped with nothing — the rest of
     the pipeline has already drained by the time totals are real."""
-    from ..refimpl import g1_add, g1_double
+    from ..hostcurve import g1_add, g1_double
 
     pts = g1.decode_jacobian(JPoint(*totals_jac))
     acc = None
@@ -578,7 +578,7 @@ def _host_msm_max() -> int:
 
 
 def _msm_host(points: APoint, scalars: jnp.ndarray) -> JPoint:
-    from ..refimpl import g1_msm_pippenger
+    from ..hostcurve import g1_msm_pippenger
 
     pts = g1.decode_affine(points)
     ks = FR.decode(scalars, mont=False)

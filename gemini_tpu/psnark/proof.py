@@ -53,6 +53,17 @@ def index(ck: CommitterKey, r1cs: R1cs) -> List[G1Host]:
     return ck.batch_commit([jm.row, jm.col, jm.val_a, jm.val_b, jm.val_c])
 
 
+def index_stream(ck_stream, r1cs_stream) -> List[G1Host]:
+    """Streaming indexer: the same 5 joint-sparsity commitments from a
+    relation stream through the chunked-MSM committer — group elements
+    identical to `index` on the dense relation (tested)."""
+    jm = r1cs_stream.joint()
+    return [
+        ck_stream.commit(v)
+        for v in (jm.row, jm.col, jm.val_a, jm.val_b, jm.val_c)
+    ]
+
+
 def _append_index(transcript: GeminiTranscript, ck_g2: Sequence,
                   idx: Sequence[G1Host]) -> None:
     transcript.append_serializable(b"ck", [G2Msg(p) for p in ck_g2])
@@ -302,13 +313,15 @@ class Proof:
         )
 
     @staticmethod
-    def new_elastic(ck_stream, r1cs: R1cs, idx: Sequence[G1Host],
+    def new_elastic(ck_stream, r1cs, idx: Sequence[G1Host],
                     block_size: int = 1 << 20,
                     threshold: int | None = None) -> "Proof":
         """Space-efficient prover (psnark/elastic_prover.rs:60-635
         analogue): the full pipeline over host-RAM block streams with
         bounded device memory, bit-identical proofs to `new_time`
-        (tested).  See psnark/elastic.py for the stream mapping."""
+        (tested).  `r1cs` may be a dense `R1cs` or a relation stream
+        (DummyR1csStream / HostR1csStream) — the giant-instance path
+        of examples/psnark.rs:54-68.  See psnark/elastic.py."""
         from .elastic import new_elastic as _new_elastic
 
         return _new_elastic(ck_stream, r1cs, idx, block_size, threshold)

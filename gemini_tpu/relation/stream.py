@@ -24,6 +24,42 @@ from ..streaming.host import HostVector, VirtualHostVector, \
 from .r1cs import R1cs
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class JointStream:
+    """Union-sparsity joint matrices through the stream interface (the
+    JointVal/Row/ColStream family, psnark/streams/val_stream.rs:8-551):
+    index vectors as host numpy int64 (O(nnz) ints — the streaming
+    pSNARK's host-RAM budget), field-encoded row/col and per-matrix
+    value vectors as (possibly virtual) HostVectors."""
+
+    row_index: np.ndarray
+    col_index: np.ndarray
+    row: HostVector  # field-encoded row indices
+    col: HostVector
+    val_a: HostVector
+    val_b: HostVector
+    val_c: HostVector
+
+    @property
+    def num_non_zero(self) -> int:
+        return len(self.row_index)
+
+
+def _index_field_hv(idx: np.ndarray, block_size: int = 1 << 20
+                    ) -> HostVector:
+    """Host int64 indices -> field-encoded HostVector, blockwise."""
+    from ..subprotocols.plookup import index_to_field
+
+    out = np.zeros((FR.n_limbs, len(idx)), dtype=np.uint32)
+    for off in range(0, len(idx), block_size):
+        blk = idx[off: off + block_size]
+        out[:, off: off + len(blk)] = from_device_limbs(index_to_field(blk))
+    return HostVector(out)
+
+
 class DenseR1csStream:
     """Adapter exposing a dense `R1cs` through the stream interface;
     the challenge contraction uses the device transposed spmv."""
@@ -36,6 +72,20 @@ class DenseR1csStream:
         self.z = HostVector.from_device(r1cs.z)
         self.w = HostVector.from_device(r1cs.w)
         self.x_int = r1cs.x_int
+
+    def joint(self) -> JointStream:
+        from .r1cs import joint_matrices
+
+        jm = joint_matrices(self.r1cs)
+        return JointStream(
+            row_index=jm.row_index,
+            col_index=jm.col_index,
+            row=HostVector.from_device(jm.row),
+            col=HostVector.from_device(jm.col),
+            val_a=HostVector.from_device(jm.val_a),
+            val_b=HostVector.from_device(jm.val_b),
+            val_c=HostVector.from_device(jm.val_c),
+        )
 
     def abc_tensored(self, challenges: List[int], alpha: int, eta: int,
                      block_size: int) -> HostVector:
@@ -85,6 +135,28 @@ class DummyR1csStream:
         self.z = VirtualHostVector.constant(self.e, n)
         self.w = VirtualHostVector.constant(self.e, n - 1)
         self.x_int = [self.e]
+
+    def joint(self) -> JointStream:
+        """Diagonal union sparsity: nnz = n entries at (i, i), every
+        value 1/e (dummy_r1cs, circuit.rs:349-365).  Row/col field
+        vectors generate lazily; index vectors are O(n) host ints."""
+        from ..subprotocols.plookup import index_to_field
+
+        n = self.n
+        inv_e = pow(self.e, -1, R)
+        idx = np.arange(n, dtype=np.int64)
+
+        def gen(start: int, end: int) -> np.ndarray:
+            return from_device_limbs(
+                index_to_field(np.arange(start, end, dtype=np.int64)))
+
+        diag_field = VirtualHostVector(n, gen)
+        val = VirtualHostVector.constant(inv_e, n)
+        return JointStream(
+            row_index=idx, col_index=idx,
+            row=diag_field, col=diag_field,
+            val_a=val, val_b=val, val_c=val,
+        )
 
     def to_dense(self) -> R1cs:
         """Materialize (small n only; for verification in tests)."""
@@ -222,6 +294,37 @@ class HostR1csStream:
             sums = segment_sum_field(FR, prods, jnp.asarray(seg), spad)
             out[:, r_lo:r_hi] = from_device_limbs(sums[:, :span])
         return HostVector(out)
+
+    def joint(self) -> JointStream:
+        """Union sparsity from the host COO triples (misc.rs:269-366
+        semantics, numpy instead of merge iterators): packed (col, row)
+        keys -> unique -> per-matrix value scatter.  O(nnz) host RAM,
+        no dense relation ever built."""
+        n_rows = max(m[0] for m in self._mats)
+        keys = [
+            m[3].astype(np.int64) * n_rows + m[2].astype(np.int64)
+            for m in self._mats
+        ]
+        union = np.unique(np.concatenate(keys))
+        row_index = union % n_rows
+        col_index = union // n_rows
+
+        def vals_on_union(m, key) -> HostVector:
+            limbs = np.zeros((FR.n_limbs, len(union)), dtype=np.uint32)
+            if len(key):
+                pos = np.searchsorted(union, key)
+                limbs[:, pos] = m[4]
+            return HostVector(limbs)
+
+        return JointStream(
+            row_index=row_index,
+            col_index=col_index,
+            row=_index_field_hv(row_index, self.block_size),
+            col=_index_field_hv(col_index, self.block_size),
+            val_a=vals_on_union(self._mats[0], keys[0]),
+            val_b=vals_on_union(self._mats[1], keys[1]),
+            val_c=vals_on_union(self._mats[2], keys[2]),
+        )
 
     def abc_tensored(self, challenges: List[int], alpha: int, eta: int,
                      block_size: int) -> HostVector:

@@ -140,13 +140,16 @@ class VirtualHostVector(HostVector):
     def constant(cls, value: int, n: int,
                  spec: FieldSpec = FR) -> "VirtualHostVector":
         """n copies of one field element (DummyStreamer,
-        iterable/dummy.rs:10-22)."""
+        iterable/dummy.rs:10-22).  Gathers stay O(1): any index
+        selection of a constant is a constant."""
         col = spec.encode([value % spec.modulus])
 
         def fn(start: int, end: int) -> np.ndarray:
             return np.broadcast_to(col, (spec.n_limbs, end - start))
 
-        return cls(n, fn, spec)
+        out = cls(n, fn, spec)
+        out._const_value = value % spec.modulus
+        return out
 
     def __len__(self) -> int:
         return self._n
@@ -157,9 +160,14 @@ class VirtualHostVector(HostVector):
 
     def slice(self, start: int, end: int) -> np.ndarray:
         end = min(end, self._n)
+        if end <= start:  # numpy slicing tolerates this; generators don't
+            return np.zeros((self.spec.n_limbs, 0), dtype=np.uint32)
         return self._fn(start, end)
 
     def gather(self, idx: np.ndarray) -> HostVector:
+        if getattr(self, "_const_value", None) is not None:
+            return VirtualHostVector.constant(
+                self._const_value, len(idx), self.spec)
         raise NotImplementedError(
             "gather on a virtual stream; materialize explicitly first"
         )

