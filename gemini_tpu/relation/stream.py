@@ -140,17 +140,27 @@ class DummyR1csStream:
         """Diagonal union sparsity: nnz = n entries at (i, i), every
         value 1/e (dummy_r1cs, circuit.rs:349-365).  Row/col field
         vectors generate lazily; index vectors are O(n) host ints."""
-        from ..subprotocols.plookup import index_to_field
-
         n = self.n
         inv_e = pow(self.e, -1, R)
         idx = np.arange(n, dtype=np.int64)
 
-        def gen(start: int, end: int) -> np.ndarray:
-            return from_device_limbs(
-                index_to_field(np.arange(start, end, dtype=np.int64)))
+        import jax.numpy as jnp
 
-        diag_field = VirtualHostVector(n, gen)
+        def gen_dev(start: int, end: int):
+            # iota -> 16-bit limb planes -> Montgomery, all on device
+            # (n < 2^31 — two limbs suffice)
+            i = jnp.arange(start, end, dtype=jnp.int32)
+            limbs = jnp.zeros((FR.n_limbs, end - start), jnp.uint32)
+            limbs = limbs.at[0].set(
+                (i & 0xFFFF).astype(jnp.uint32))
+            limbs = limbs.at[1].set(
+                ((i >> 16) & 0xFFFF).astype(jnp.uint32))
+            return fp.to_mont(FR, limbs)
+
+        def gen(start: int, end: int) -> np.ndarray:
+            return from_device_limbs(gen_dev(start, end))
+
+        diag_field = VirtualHostVector(n, gen, device_fn=gen_dev)
         val = VirtualHostVector.constant(inv_e, n)
         return JointStream(
             row_index=idx, col_index=idx,
@@ -183,7 +193,7 @@ class DummyR1csStream:
         from ..fields import fp
         from ..fields.fp import FR
         from ..ops import poly
-        from ..streaming.ops import powers_block, tensor_block
+        from ..streaming.ops import powers_block_dev, tensor_block_dev
 
         eta2 = eta * eta % R
         inv_e = pow(self.e, -1, R)
@@ -191,12 +201,11 @@ class DummyR1csStream:
         c1 = poly.scalar(FR, eta * inv_e % R)
         c2 = poly.scalar(FR, eta2 * inv_e % R)
 
-        def fn(start: int, end: int):
-            import jax.numpy as jnp
-            t = to_device_limbs(tensor_block(challenges, start, end))
-            p = to_device_limbs(powers_block(alpha, start, end))
+        def device_fn(start: int, end: int):
+            t = tensor_block_dev(challenges, start, end)
+            p = powers_block_dev(alpha, start, end)
             a = fp.mont_mul(FR, t, p)
-            comb = fp.add(
+            return fp.add(
                 FR,
                 fp.mont_mul(FR, a, c0),
                 fp.add(
@@ -205,10 +214,11 @@ class DummyR1csStream:
                     fp.mont_mul(FR, p, c2),
                 ),
             )
-            import numpy as np
-            return from_device_limbs(comb)
 
-        return VirtualHostVector(self.n, fn)
+        def fn(start: int, end: int):
+            return from_device_limbs(device_fn(start, end))
+
+        return VirtualHostVector(self.n, fn, device_fn=device_fn)
 
 
 class HostR1csStream:

@@ -128,13 +128,20 @@ class VirtualHostVector(HostVector):
     uint32 Montgomery limbs.  O(1) host memory — the rebirth of the
     reference's `DummyStreamer`/`dummy_r1cs_stream` substrate
     (iterable/dummy.rs:10-238), which lets 2^30+ instances run without
-    materializing anything."""
+    materializing anything.
+
+    `device_fn(start, end) -> (L, end-start) device array`, when given,
+    generates blocks ON DEVICE: streaming passes over synthetic giant
+    vectors then move ZERO bytes through the host<->device link (the
+    2^24 elastic run was tunnel-transfer-bound on exactly these
+    constant blocks, PERF.md)."""
 
     def __init__(self, n: int, fn: Callable[[int, int], np.ndarray],
-                 spec: FieldSpec = FR):
+                 spec: FieldSpec = FR, device_fn=None):
         self._n = n
         self._fn = fn
         self.spec = spec
+        self._device_fn = device_fn
 
     @classmethod
     def constant(cls, value: int, n: int,
@@ -147,7 +154,15 @@ class VirtualHostVector(HostVector):
         def fn(start: int, end: int) -> np.ndarray:
             return np.broadcast_to(col, (spec.n_limbs, end - start))
 
-        out = cls(n, fn, spec)
+        dev_col = []
+
+        def device_fn(start: int, end: int) -> jnp.ndarray:
+            if not dev_col:
+                dev_col.append(to_device_limbs(col))
+            return jnp.broadcast_to(dev_col[0],
+                                    (spec.n_limbs, end - start))
+
+        out = cls(n, fn, spec, device_fn=device_fn)
         out._const_value = value % spec.modulus
         return out
 
@@ -164,6 +179,12 @@ class VirtualHostVector(HostVector):
             return np.zeros((self.spec.n_limbs, 0), dtype=np.uint32)
         return self._fn(start, end)
 
+    def device_slice(self, start: int, end: int) -> jnp.ndarray:
+        end = min(end, self._n)
+        if self._device_fn is not None and end > start:
+            return self._device_fn(start, end)
+        return super().device_slice(start, end)
+
     def gather(self, idx: np.ndarray) -> HostVector:
         if getattr(self, "_const_value", None) is not None:
             return VirtualHostVector.constant(
@@ -171,3 +192,55 @@ class VirtualHostVector(HostVector):
         raise NotImplementedError(
             "gather on a virtual stream; materialize explicitly first"
         )
+
+
+class DeviceVector(HostVector):
+    """A HostVector whose payload stays DEVICE-resident: fold levels
+    small enough for HBM skip the host round trip entirely (VERDICT r4
+    item 4, "keep device-resident folds when they fit").  Host access
+    (`limbs`/`slice`) reads back on demand — rare paths only."""
+
+    def __init__(self, arr: jnp.ndarray, spec: FieldSpec = FR):
+        assert arr.ndim == 2 and arr.shape[0] == spec.n_limbs
+        self._arr = arr
+        self.spec = spec
+
+    def __len__(self) -> int:
+        return self._arr.shape[1]
+
+    @property
+    def limbs(self) -> np.ndarray:
+        return from_device_limbs(self._arr)
+
+    def slice(self, start: int, end: int) -> np.ndarray:
+        end = min(end, len(self))
+        if end <= start:
+            return np.zeros((self.spec.n_limbs, 0), dtype=np.uint32)
+        return from_device_limbs(self._arr[:, start:end])
+
+    def device_slice(self, start: int, end: int) -> jnp.ndarray:
+        end = min(end, len(self))
+        return self._arr[:, start:end]
+
+    def gather(self, idx: np.ndarray) -> HostVector:
+        return HostVector(
+            self.limbs[:, np.asarray(idx, dtype=np.int64)], self.spec)
+
+
+def device_block(hv: HostVector, off: int, end: int,
+                 pad_to: int | None = None) -> jnp.ndarray:
+    """hv[off:end) as a device array, zero-padded ON DEVICE to
+    `pad_to` lanes — the shared block reader for streaming pipelines
+    (virtual device generators and device-resident vectors transfer
+    nothing; plain host vectors use the packed wire format)."""
+    end = min(end, len(hv))
+    m = max(0, end - off)
+    if m:
+        b = hv.device_slice(off, end)
+    else:
+        b = jnp.zeros((hv.spec.n_limbs, 0), jnp.uint32)
+    if pad_to is not None and b.shape[1] < pad_to:
+        b = jnp.concatenate(
+            [b, jnp.zeros((hv.spec.n_limbs, pad_to - b.shape[1]),
+                          jnp.uint32)], axis=1)
+    return b

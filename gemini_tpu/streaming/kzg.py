@@ -88,6 +88,7 @@ class _DivideStage:
 
 
 def _lincomb_rev_blocks(hvs, coeffs, block_size: int):
+    from .host import device_block
     """Blocks of sum_i coeffs[i]*hvs[i] (index-0 aligned, max length),
     yielded HIGH->LOW without materializing the combination."""
     n = max(len(hv) for hv in hvs)
@@ -100,13 +101,8 @@ def _lincomb_rev_blocks(hvs, coeffs, block_size: int):
             end = min(off + m, len(hv))
             if end <= off:
                 continue
-            sl = hv.slice(off, end)
-            if sl.shape[1] < m:
-                sl = np.concatenate(
-                    [sl, np.zeros((L, m - sl.shape[1]), dtype=np.uint32)],
-                    axis=1,
-                )
-            term = fp.mont_mul(FR, to_device_limbs(sl), c)
+            sl = device_block(hv, off, end, pad_to=m)
+            term = fp.mont_mul(FR, sl, c)
             acc = term if acc is None else fp.add(FR, acc, term)
         if acc is None:
             acc = jnp.zeros((L, m), jnp.uint32)
@@ -217,25 +213,39 @@ class CommitterKeyStream:
                      ) -> Tuple[HostVector, G1Host]:
         """Fused streaming fold+commit: out[k] = f[2k] + r*f[2k+1]
         written to host AND partially MSM'd per block in one pass."""
+        from .host import DeviceVector, device_block
+
         n = len(hv)
         out_n = (n + 1) // 2
         L = FR.n_limbs
-        out = np.zeros((L, out_n), dtype=np.uint32)
         rs = poly.scalar(FR, r)
         blk = max(2, self.max_msm_buffer - (self.max_msm_buffer % 2))
+        # Folds that fit one MSM buffer stay DEVICE-resident: no host
+        # round trip, and every later pass over them (deeper folds,
+        # evaluations, openings) transfers nothing.
+        import os
+
+        dev_max = int(os.environ.get("GEMINI_TPU_DEV_FOLD_MAX", 1 << 20))
+        keep_dev = out_n <= min(dev_max, blk // 2)
+        out = None if keep_dev else np.zeros((L, out_n), dtype=np.uint32)
+        dev_out = []
         acc = None
         for off in range(0, n, blk):
-            raw = hv.slice(off, min(off + blk, n))
-            m = raw.shape[1]
-            if m % 2:
-                raw = np.concatenate(
-                    [raw, np.zeros((L, 1), dtype=np.uint32)], axis=1
-                )
-            fb = poly.fold_polynomial(FR, to_device_limbs(raw), rs)
+            end = min(off + blk, n)
+            m = end - off
+            raw = device_block(hv, off, end, pad_to=m + (m % 2))
+            fb = poly.fold_polynomial(FR, raw, rs)
             bases = self.bases(off // 2, fb.shape[1])
             part = self._msm(bases, fb)
             acc = _g1_add_host(acc, g1.decode_jacobian(part)[0])
-            out[:, off // 2: off // 2 + fb.shape[1]] = from_device_limbs(fb)
+            if keep_dev:
+                dev_out.append(fb)
+            else:
+                out[:, off // 2: off // 2 + fb.shape[1]] =                     from_device_limbs(fb)
+        if keep_dev:
+            arr = dev_out[0] if len(dev_out) == 1 else jnp.concatenate(
+                dev_out, axis=1)
+            return DeviceVector(arr[:, :out_n], hv.spec), acc
         return HostVector(out, hv.spec), acc
 
     def open_multi_points(self, hv: HostVector,

@@ -19,7 +19,10 @@ from ..fields import fp
 from ..fields.fp import FR
 from ..ops import poly
 from ..params import R
-from .host import HostVector, from_device_limbs, to_device_limbs
+from .host import (
+    HostVector, VirtualHostVector, device_block, from_device_limbs,
+    to_device_limbs,
+)
 
 
 def hv_fold(hv: HostVector, r: int, block_size: int = 1 << 20) -> HostVector:
@@ -54,21 +57,47 @@ def hv_lincomb(hvs: Sequence[HostVector], coeffs: Sequence[int],
     cs = [poly.scalar(FR, c) for c in coeffs]
     for off in range(0, n, block_size):
         m = min(block_size, n - off)
-        acc = None
-        for hv, c in zip(hvs, cs):
-            sl = hv.slice(off, min(off + m, len(hv)))
-            if sl.shape[1] == 0:
-                continue
-            if sl.shape[1] < m:
-                sl = np.concatenate(
-                    [sl, np.zeros((L, m - sl.shape[1]), dtype=np.uint32)],
-                    axis=1,
-                )
-            term = fp.mont_mul(FR, to_device_limbs(sl), c)
-            acc = term if acc is None else fp.add(FR, acc, term)
+        acc = _lincomb_device_block(hvs, cs, off, m)
         if acc is not None:
             out[:, off: off + m] = from_device_limbs(acc)
     return HostVector(out, hvs[0].spec)
+
+
+def _lincomb_device_block(hvs, cs, off: int, m: int):
+    """One device block of sum_i cs[i]*hvs[i][off:off+m), zero-padded;
+    None when every source is exhausted."""
+    acc = None
+    for hv, c in zip(hvs, cs):
+        end = min(off + m, len(hv))
+        if end <= off:
+            continue
+        sl = device_block(hv, off, end, pad_to=m)
+        term = fp.mont_mul(FR, sl, c)
+        acc = term if acc is None else fp.add(FR, acc, term)
+    return acc
+
+
+def hv_lincomb_lazy(hvs: Sequence[HostVector], coeffs: Sequence[int]
+                    ) -> VirtualHostVector:
+    """The lincomb as a LAZY device-generating stream: consumers that
+    read it once (the fold-tree's first level) skip materializing the
+    n-length combination entirely — at 2^24 that is a ~0.5 GB host
+    write + re-read saved (VERDICT r4 item 4 pass-count reduction)."""
+    import jax.numpy as jnp
+
+    n = max(len(hv) for hv in hvs)
+    cs = [poly.scalar(FR, c) for c in coeffs]
+
+    def device_fn(start: int, end: int):
+        acc = _lincomb_device_block(hvs, cs, start, end - start)
+        if acc is None:
+            acc = jnp.zeros((FR.n_limbs, end - start), jnp.uint32)
+        return acc
+
+    def fn(start: int, end: int):
+        return from_device_limbs(device_fn(start, end))
+
+    return VirtualHostVector(n, fn, hvs[0].spec, device_fn=device_fn)
 
 
 def hv_hadamard(a: HostVector, b: HostVector,
@@ -164,10 +193,10 @@ def hv_tensor(challenges: Sequence[int],
     return HostVector(out)
 
 
-def tensor_block(challenges: Sequence[int], start: int,
-                 end: int) -> np.ndarray:
+def tensor_block_dev(challenges: Sequence[int], start: int,
+                     end: int) -> jnp.ndarray:
     """Arbitrary window [start, end) of the ⊗_j (1, rho_j) expansion
-    as host limbs: t[i] = prod_l rho_l^{bit_l(i)} via log(n) masked
+    as a DEVICE array: t[i] = prod_l rho_l^{bit_l(i)} via log(n) masked
     device multiplies (random access, the `advance_by` of
     tensor_stream.rs:49-90)."""
     m = end - start
@@ -177,7 +206,12 @@ def tensor_block(challenges: Sequence[int], start: int,
         bit = jnp.asarray(((idx >> l) & 1).astype(np.uint32))
         mul = fp.mont_mul(FR, out, poly.scalar(FR, ch))
         out = jnp.where(bit[None, :] == 1, mul, out)
-    return from_device_limbs(out)
+    return out
+
+
+def tensor_block(challenges: Sequence[int], start: int,
+                 end: int) -> np.ndarray:
+    return from_device_limbs(tensor_block_dev(challenges, start, end))
 
 
 def tensor_at(challenges: Sequence[int], idx: np.ndarray) -> jnp.ndarray:
@@ -208,12 +242,16 @@ def powers_at(x: int, idx: np.ndarray, n_bits: int) -> jnp.ndarray:
     return out
 
 
-def powers_block(x: int, start: int, end: int) -> np.ndarray:
-    """Window [start, end) of [1, x, x^2, ...] as host limbs."""
+def powers_block_dev(x: int, start: int, end: int) -> jnp.ndarray:
+    """Window [start, end) of [1, x, x^2, ...] as a DEVICE array."""
     m = end - start
-    return from_device_limbs(fp.mont_mul(
+    return fp.mont_mul(
         FR, poly.powers(FR, x, m), poly.scalar(FR, pow(x, start, R))
-    ))
+    )
+
+
+def powers_block(x: int, start: int, end: int) -> np.ndarray:
+    return from_device_limbs(powers_block_dev(x, start, end))
 
 
 def hv_powers(x: int, n: int, block_size: int = 1 << 20) -> HostVector:

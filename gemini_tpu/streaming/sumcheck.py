@@ -131,21 +131,16 @@ class SpaceProver:
     def _load(self, hv: HostVector, off: int, size: int,
               group: int) -> jnp.ndarray:
         """Device block [off, off+size) zero-padded to a group multiple
-        (and zero-filled beyond the vector's end)."""
-        L = FR.n_limbs
+        (and zero-filled beyond the vector's end).  Device-generated /
+        device-resident sources transfer nothing (host.device_block)."""
+        from .host import device_block
+
         end = min(off + size, len(hv))
-        if off < end:
-            raw = hv.slice(off, end)
-        else:
-            raw = np.zeros((L, 0), dtype=np.uint32)
-        pad = -(raw.shape[1]) % group
-        if raw.shape[1] + pad < size:
-            pad = size + (-size % group) - raw.shape[1]
-        if pad:
-            raw = np.concatenate(
-                [raw, np.zeros((L, pad), dtype=np.uint32)], axis=1
-            )
-        return to_device_limbs(raw)
+        m = max(0, end - off)
+        pad_to = m + (-m % group)
+        if pad_to < size:
+            pad_to = size + (-size % group)
+        return device_block(hv, off, end, pad_to=pad_to)
 
     def next_message(self, challenge: Optional[int]):
         if challenge is not None:

@@ -19,7 +19,7 @@ from ..subprotocols.tensorcheck import TensorcheckProof
 from ..transcript import GeminiTranscript
 from .host import HostVector
 from .kzg import CommitterKeyStream
-from .ops import hv_lincomb
+from .ops import hv_lincomb_lazy
 
 
 def new_space(transcript: GeminiTranscript, ck_stream: CommitterKeyStream,
@@ -38,8 +38,8 @@ def new_space(transcript: GeminiTranscript, ck_stream: CommitterKeyStream,
     foldings: List[HostVector] = []
     folded_polynomials_commitments = []
     for polys, challenges in body_polynomials:
-        batched = hv_lincomb(
-            list(polys), batch_challenges[: len(polys)], blk
+        batched = hv_lincomb_lazy(
+            list(polys), batch_challenges[: len(polys)]
         )
         cms, folds = ck_stream.commit_folding(batched, challenges)
         folded_polynomials_commitments.extend(cms)
