@@ -88,7 +88,8 @@ def main():
         timed(f"scan fused 2^{logn}",
               lambda: scan_fused(fx, fy, fm, pos), k, n)
 
-        # reduce chain ONLY (no stop-scan, no walk-down): fold to m
+        # reduce chain ONLY (no stop-scan, no walk-down): fold to m.
+        # Return TINY outputs so the tunnel readback measures nothing.
         @jax.jit
         def reduce_chain(fx, fy, fm):
             cx, cy, cz = fx, fy, fm
@@ -104,7 +105,7 @@ def main():
                     cx, cy, cz = ec_scan.pallas_padd_points(
                         (ex, ey, ez), (ox_, oy_, oz_))
                 is01 = False
-            return cx, cy, cz
+            return cx[..., :1], cy[..., :1], cz[..., :1]
 
         timed(f"reduce chain 2^{logn}->2^{c-1}",
               lambda: reduce_chain(fx, fy, fm), k, n)
@@ -115,11 +116,44 @@ def main():
             ex, ox_ = fx[..., 0::2], fx[..., 1::2]
             ey, oy_ = fy[..., 0::2], fy[..., 1::2]
             ez, oz_ = fm[..., 0::2], fm[..., 1::2]
-            return ec_scan.pallas_padd01_points(
+            x, y, z = ec_scan.pallas_padd01_points(
                 (ex, ey, ez), (ox_, oy_, oz_))
+            return x[..., :1], y[..., :1], z[..., :1]
 
         timed(f"level0 split+padd01 2^{logn}",
               lambda: level0(fx, fy, fm), k, n)
+
+        # level-0 with CONTIGUOUS halves pairing (not the same math —
+        # pure layout probe: is the stride-2 split the non-scaler?)
+        @jax.jit
+        def level0_halves(fx, fy, fm):
+            h = fx.shape[-1] // 2
+            x, y, z = ec_scan.pallas_padd01_points(
+                (fx[..., :h], fy[..., :h], fm[..., :h]),
+                (fx[..., h:], fy[..., h:], fm[..., h:]))
+            return x[..., :1], y[..., :1], z[..., :1]
+
+        timed(f"level0 halves+padd01 2^{logn}",
+              lambda: level0_halves(fx, fy, fm), k, n)
+
+        # reduce chain with halves pairing at every level (layout probe)
+        @jax.jit
+        def reduce_chain_halves(fx, fy, fm):
+            cx, cy, cz = fx, fy, fm
+            is01 = True
+            while cx.shape[-1] > m:
+                h = cx.shape[-1] // 2
+                a = (cx[..., :h], cy[..., :h], cz[..., :h])
+                b = (cx[..., h:], cy[..., h:], cz[..., h:])
+                if is01:
+                    cx, cy, cz = ec_scan.pallas_padd01_points(a, b)
+                else:
+                    cx, cy, cz = ec_scan.pallas_padd_points(a, b)
+                is01 = False
+            return cx[..., :1], cy[..., :1], cz[..., :1]
+
+        timed(f"reduce halves 2^{logn}->2^{c-1}",
+              lambda: reduce_chain_halves(fx, fy, fm), k, n)
 
 
 if __name__ == "__main__":

@@ -256,13 +256,33 @@ class CommitterKey:
             tau: Optional[int] = None) -> "CommitterKey":
         """Insecure test-only setup (trapdoor from a seeded RNG), like
         the reference's `CommitterKey::new` (kzg/time.rs:49-72)."""
+        import os
+
         rng = random.Random(seed)
         tau = tau if tau is not None else rng.randrange(1, R)
         g = g1_mul(g1_generator(), rng.randrange(1, R))
         g2 = g2_mul(g2_generator(), rng.randrange(1, R))
-        taus = poly.powers(FR, tau, max_degree + 1)
-        taus_canonical = fp.from_mont(FR, taus)
-        powers_of_g = fixed_base_msm(g, taus_canonical)
+        from ..native import bls as _nbls
+
+        use_host_fb = os.environ.get("GEMINI_TPU_HOST_FIXED_BASE")
+        if use_host_fb is None:
+            use_host_fb = jax.default_backend() == "cpu"
+        else:
+            use_host_fb = use_host_fb == "1"
+        if use_host_fb and _nbls.available():
+            # CPU backend: the native windowed fixed-base MSM beats
+            # compiling the device table-gather pipeline by minutes
+            # per fresh shape (the SRS is a test fixture there).
+            taus_int, t = [], 1
+            for _ in range(max_degree + 1):
+                taus_int.append(t)
+                t = t * tau % R
+            powers_of_g = g1.encode_affine(
+                _nbls.g1_fixed_base(g, taus_int))
+        else:
+            taus = poly.powers(FR, tau, max_degree + 1)
+            taus_canonical = fp.from_mont(FR, taus)
+            powers_of_g = fixed_base_msm(g, taus_canonical)
         tau_pows = 1
         powers_of_g2 = []
         for _ in range(max_eval_points + 1):

@@ -67,6 +67,9 @@ def load():
             lib.bls_g1_msm.restype = None
             lib.bls_g1_msm.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t, u8p]
+            lib.bls_g1_fixed_base.restype = None
+            lib.bls_g1_fixed_base.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t, u8p]
             lib.bls_multi_pairing.restype = None
             lib.bls_multi_pairing.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t, u8p]
@@ -180,6 +183,18 @@ def g1_msm(points, scalars) -> Optional[Tuple[int, int]]:
     out = (ctypes.c_ubyte * 97)()
     lib.bls_g1_msm(pts, ks, len(points), out)
     return _g1_parse(bytes(out))
+
+
+def g1_fixed_base(base, scalars) -> List[Optional[Tuple[int, int]]]:
+    """[k * base for k in scalars] via a shared window table (the SRS
+    setup workload, kzg/time.rs:49-72)."""
+    lib = load()
+    ks = b"".join((k % R).to_bytes(32, "little") for k in scalars)
+    out = (ctypes.c_ubyte * (97 * len(scalars)))()
+    lib.bls_g1_fixed_base(_g1_bytes(base), ks, len(scalars), out)
+    raw = bytes(out)
+    return [_g1_parse(raw[97 * i:97 * (i + 1)])
+            for i in range(len(scalars))]
 
 
 def pairing(p, q):

@@ -900,6 +900,39 @@ void bls_g1_msm(const unsigned char* pts, const unsigned char* scalars,
   g1_to_bytes(out, &total);
 }
 
+// Fixed-base MSM: out[i] = scalars[i] * base, windowed (c = 8) with a
+// shared 32x255 table — the SRS-setup workload (kzg/time.rs:49-72).
+void bls_g1_fixed_base(const unsigned char* base97,
+                       const unsigned char* scalars, size_t n,
+                       unsigned char* out) {
+  jac<fp> g;
+  g1_from_bytes(&g, base97);
+  const int C = 8, WINDOWS = 32, ENTRIES = 255;
+  std::vector<jac<fp>> table((size_t)WINDOWS * ENTRIES);
+  // row 0: G, 2G, ..., 255G
+  table[0] = g;
+  for (int d = 1; d < ENTRIES; d++)
+    g1ops::add(&table[d], &table[d - 1], &g);
+  // row w = 2^8 * row w-1
+  for (int w = 1; w < WINDOWS; w++) {
+    for (int d = 0; d < ENTRIES; d++) {
+      jac<fp> t = table[(size_t)(w - 1) * ENTRIES + d];
+      for (int s = 0; s < C; s++) g1ops::dbl(&t, &t);
+      table[(size_t)w * ENTRIES + d] = t;
+    }
+  }
+  for (size_t i = 0; i < n; i++) {
+    const unsigned char* k = scalars + 32 * i;
+    jac<fp> acc;
+    g1ops::set_inf(&acc);
+    for (int w = 0; w < WINDOWS; w++) {
+      unsigned d = k[w];
+      if (d) g1ops::add(&acc, &acc, &table[(size_t)w * ENTRIES + d - 1]);
+    }
+    g1_to_bytes(out + 97 * i, &acc);
+  }
+}
+
 void bls_pairing(const unsigned char* g1b, const unsigned char* g2b,
                  unsigned char* out576) {
   fp12 f;

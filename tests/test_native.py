@@ -127,3 +127,47 @@ def test_native_bls_pairing_matches_refimpl(nbls):
     # multi_pairing: e(P,Q) * e(-P,Q) == 1
     assert nbls.multi_pairing([p, ri.g1_neg(p)], [q, q]) == Fq12.one()
     assert nbls.multi_pairing([p], [q]) == ri.pairing(p, q)
+
+
+def test_native_fixed_base_matches_refimpl(nbls):
+    import random
+
+    from gemini_tpu import refimpl as ri
+    from gemini_tpu.params import R
+
+    rnd = random.Random(9)
+    G = ri.g1_mul(ri.g1_generator(), 55)
+    ks = [0, 1, R - 1] + [rnd.randrange(R) for _ in range(10)]
+    out = nbls.g1_fixed_base(G, ks)
+    for k, p in zip(ks, out):
+        assert p == ri.g1_mul(G, k)
+
+
+def test_committer_key_host_fixed_base_matches_device():
+    """The CPU-backend native SRS path must produce the identical key
+    to the device table-gather pipeline."""
+    import os
+
+    import numpy as np
+
+    from gemini_tpu.kzg.commit import CommitterKey
+    from gemini_tpu.native import bls
+
+    if not bls.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    os.environ["GEMINI_TPU_HOST_FIXED_BASE"] = "1"
+    try:
+        ck1 = CommitterKey.new(max_degree=40, max_eval_points=3, seed=5)
+    finally:
+        os.environ["GEMINI_TPU_HOST_FIXED_BASE"] = "0"
+    try:
+        ck2 = CommitterKey.new(max_degree=40, max_eval_points=3, seed=5)
+    finally:
+        del os.environ["GEMINI_TPU_HOST_FIXED_BASE"]
+    assert np.array_equal(np.asarray(ck1.powers_of_g.x),
+                          np.asarray(ck2.powers_of_g.x))
+    assert np.array_equal(np.asarray(ck1.powers_of_g.y),
+                          np.asarray(ck2.powers_of_g.y))
+    assert ck1.powers_of_g2 == ck2.powers_of_g2
