@@ -210,7 +210,51 @@ def _lift01(x, y, m):
     return x, y, jnp.where(live, one, jnp.zeros_like(one))
 
 
-def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None):
+def bitrev_levels(n: int, m: int) -> int:
+    """Number of reduce-chain levels prefix_sums_at runs from n lanes
+    to its stop level for m positions = the bit count the partial
+    bit-reversed layout must reverse (callers of rev_bits≠0 MUST
+    compute it with this)."""
+    s_stop = 1
+    while s_stop < m and s_stop < n:
+        s_stop *= 2
+    lv = 0
+    while (n >> lv) > s_stop:
+        lv += 1
+    return lv
+
+
+def partial_bitrev_last(a, rb: int):
+    """Permute the last axis into the partial bit-reversed layout:
+    logical index p = (hi, b_{rb-1}..b_0) lands at storage index
+    j = (b_0..b_{rb-1}, hi).  ONE XLA transpose (cheap relayout) —
+    applied to the int32 order/key arrays before the coordinate
+    gather, never to the 100 MB coordinate planes."""
+    if rb <= 0:
+        return a
+    *batch, n = a.shape
+    a = a.reshape(*batch, n >> rb, *([2] * rb))
+    nb = len(batch)
+    perm = list(range(nb)) + [nb + k for k in range(rb, 0, -1)] + [nb]
+    a = a.transpose(perm)
+    return a.reshape(*batch, n)
+
+
+def _stored_index(p, n_k: int, r_k: int):
+    """Storage index of logical position p at a reduce-chain level of
+    size n_k whose layout still has r_k reversed low bits."""
+    if r_k <= 0:
+        return p
+    shift = n_k.bit_length() - 1 - r_k
+    low = p & ((1 << r_k) - 1)
+    rev = jnp.zeros_like(p)
+    for i in range(r_k):
+        rev = rev | (((low >> jnp.int32(i)) & 1) << jnp.int32(r_k - 1 - i))
+    return (rev << jnp.int32(shift)) | (p >> jnp.int32(r_k))
+
+
+def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None,
+                   rev_bits: int = 0):
     """Inclusive PREFIX sums of points at given positions only.
 
     x, y: (L, *batch, n); mask: (*batch, n) with z ∈ {0, 1} per lane
@@ -224,6 +268,16 @@ def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None):
     + m per level (walk-down fix-ups) ≈ n + m·log2(n/m) — ~35% fewer
     adds at n = 2^20, m = 2^16.  Level 0 reduces with the cheaper
     z∈{0,1} kernel.
+
+    `rev_bits`: when nonzero, the INPUT lanes are in the partial
+    bit-reversed layout (partial_bitrev_last with rb =
+    bitrev_levels(n, m) — the caller must use exactly that).  Every
+    even/odd level split then becomes a CONTIGUOUS halves split:
+    measured 3.9x/8.3x faster than the stride-2 split at 2^20/2^21
+    lanes (benches/scancliff.py) — stride-2 slicing was the whole
+    "scan-phase cliff" of PERF.md round 4.  After the chain the stop
+    level is back in positional order; walk-down gathers translate
+    positions with `_stored_index`.
 
     Walk-down identity: with reduced[k] = P[2k] ⊕ P[2k+1],
       S(p) = S_reduced((p-1)>>1) ⊕ (P[p] if p even else identity),
@@ -240,6 +294,8 @@ def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None):
     s_stop = 1
     while s_stop < m and s_stop < n:
         s_stop *= 2
+    if rev_bits:
+        assert rev_bits == bitrev_levels(n, m), (rev_bits, n, m)
 
     # Reduce chain (keeping each level for the walk-down).
     levels = []  # (x, y, z-or-mask, is01)
@@ -247,9 +303,15 @@ def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None):
     is01 = True
     while cx.shape[-1] > s_stop:
         levels.append((cx, cy, cz, is01))
-        ex, ox_ = cx[..., 0::2], cx[..., 1::2]
-        ey, oy_ = cy[..., 0::2], cy[..., 1::2]
-        ez, oz_ = cz[..., 0::2], cz[..., 1::2]
+        if rev_bits:
+            h = cx.shape[-1] // 2
+            ex, ox_ = cx[..., :h], cx[..., h:]
+            ey, oy_ = cy[..., :h], cy[..., h:]
+            ez, oz_ = cz[..., :h], cz[..., h:]
+        else:
+            ex, ox_ = cx[..., 0::2], cx[..., 1::2]
+            ey, oy_ = cy[..., 0::2], cy[..., 1::2]
+            ez, oz_ = cz[..., 0::2], cz[..., 1::2]
         if is01:
             cx, cy, cz = combiner01((ex, ey, ez), (ox_, oy_, oz_))
         else:
@@ -285,20 +347,27 @@ def prefix_sums_at(x, y, mask, pos, combiner=None, combiner01=None):
     rz = jnp.where(live, gather_last(sz, topc), 0)
 
     # Walk down: add P_level[p] where p is even and the lane is live.
+    # Positions are logical; under the partial bit-reversed layout the
+    # gather index is translated per level (level k of the `levels`
+    # list has r_k = rev_bits - k reversed bits left).
     one = FQ.ones_mont(pos.shape)
-    for (lx, ly, lz, l01), p in zip(reversed(levels), reversed(poss[:-1])):
+    for k, ((lx, ly, lz, l01), p) in enumerate(
+            zip(reversed(levels), reversed(poss[:-1]))):
         pc = jnp.maximum(p, 0)
         even = jnp.logical_and(p >= 0, p % 2 == 0)
-        gxv = gather_last(lx, pc)
-        gyv = gather_last(ly, pc)
+        lev_idx = len(levels) - 1 - k  # index into the original chain
+        sidx = _stored_index(pc, lx.shape[-1],
+                             rev_bits - lev_idx if rev_bits else 0)
+        gxv = gather_last(lx, sidx)
+        gyv = gather_last(ly, sidx)
         if l01:
             if batch_shape:
-                gl = lz[jnp.arange(batch_shape[0])[:, None], pc]
+                gl = lz[jnp.arange(batch_shape[0])[:, None], sidx]
             else:
-                gl = lz[pc]
+                gl = lz[sidx]
             gzv = jnp.where(jnp.logical_and(gl, even)[None], one, 0)
         else:
-            gzv = jnp.where(even[None], gather_last(lz, pc), 0)
+            gzv = jnp.where(even[None], gather_last(lz, sidx), 0)
         opx = jnp.where(even[None], gxv, 0)
         rx, ry, rz = combiner((rx, ry, rz), (opx, gyv, gzv))
     return rx, ry, rz

@@ -195,8 +195,8 @@ def _unpack_half(g12):
                            axis=0)
 
 
-@jax.jit
-def _sort_gather_proj(pp, pinf, mags, negs):
+@partial(jax.jit, static_argnums=(4,))
+def _sort_gather_proj(pp, pinf, mags, negs, rev_bits: int = 0):
     """Sort each window's points by digit magnitude, emitting FLIPPED
     (descending) (x, y, mask) for the RCB padd01 level-0 kernel plus
     the ASCENDING sorted digits (for the boundary positions).
@@ -208,7 +208,13 @@ def _sort_gather_proj(pp, pinf, mags, negs):
       * the 100 MB coordinate flip is replaced by flipping the 4 MB
         order array before the gather;
       * dead lanes (infinity or digit 0) become the identity
-        (0 : y : 0), y nonzero; negative digits negate y."""
+        (0 : y : 0), y nonzero; negative digits negate y.
+
+    `rev_bits`: emit (x, y, mask) in the partial bit-reversed lane
+    layout (ec_scan.partial_bitrev_last applied to the 4 MB order/key
+    arrays — one cheap transpose, never the coordinates) so the scan
+    phase's level splits are contiguous halves (the stride-2 cliff
+    fix, benches/scancliff.py).  `sd` stays positional/ascending."""
     Wc, n = mags.shape
     key = ((mags << jnp.uint32(2))
            | (negs.astype(jnp.uint32) << jnp.uint32(1))
@@ -218,11 +224,14 @@ def _sort_gather_proj(pp, pinf, mags, negs):
     # scan is a sum) and the unstable network is ~10% faster (PERF.md).
     skey, order = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
     order_f = order[:, ::-1]
+    skey_f = skey[:, ::-1]
+    if rev_bits:
+        order_f = ec_scan.partial_bitrev_last(order_f, rev_bits)
+        skey_f = ec_scan.partial_bitrev_last(skey_f, rev_bits)
     g = pp[:, order_f]  # (24, Wc, n): packed x | y, descending digits
     gx = _unpack_half(g[:12])
     gy = _unpack_half(g[12:])
     sd = skey >> jnp.uint32(2)  # ascending magnitudes
-    skey_f = skey[:, ::-1]
     sneg = (skey_f >> jnp.uint32(1)) & jnp.uint32(1)
     ginf = (skey_f & jnp.uint32(1)).astype(bool)
     one = FQ.ones_mont((Wc, n))
@@ -349,10 +358,13 @@ def _window_chunk(pp, pinf, mags, negs, c: int, use_proj: bool):
     else:
         combiner = ec_scan.add_points
         combiner01 = _tape_padd01
-    fx, fy, fm, sd = _sort_gather_proj(pp, pinf, mags, negs)
+    n = mags.shape[1]
+    rb = ec_scan.bitrev_levels(n, 1 << (c - 1))
+    fx, fy, fm, sd = _sort_gather_proj(pp, pinf, mags, negs, rb)
     pos = _boundary_positions(sd, c)
     bx, by, bz = ec_scan.prefix_sums_at(
-        fx, fy, fm, pos, combiner=combiner, combiner01=combiner01
+        fx, fy, fm, pos, combiner=combiner, combiner01=combiner01,
+        rev_bits=rb,
     )
     x, y, z = ec_scan.tree_reduce((bx, by, bz), combiner=combiner)
     return x[..., 0], y[..., 0], z[..., 0]
