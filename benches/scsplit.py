@@ -31,12 +31,13 @@ from gemini_tpu.subprotocols.sumcheck import (
 
 
 def timed(label, fn, k, units):
+    touch = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
     out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[0][:, :1])
+    touch(out)
     t0 = time.time()
     outs = [fn() for _ in range(k)]
     for o in outs:
-        np.asarray(jax.tree_util.tree_leaves(o)[0][:, :1])
+        touch(o)
     dt = (time.time() - t0) / k
     print(f"{label:34s} {dt*1e3:8.1f} ms  ({dt/units*1e9:6.1f} ns/unit)",
           flush=True)
@@ -51,6 +52,59 @@ def round_message_halves(f, g, t_pow, twist):
     if m <= SC_TILE:
         return _round_partials(f_e, f_o, g_e, g_o, t_pow, twist)
     L = f.shape[0]
+    t = -(-m // SC_TILE)
+    npad = t * SC_TILE
+
+    def tiled(x):
+        if npad != m:
+            x = jnp.concatenate(
+                [x, jnp.zeros((L, npad - m), jnp.uint32)], axis=1)
+        return x.reshape(L, t, SC_TILE).transpose(1, 0, 2)
+
+    xs = tuple(tiled(v) for v in (f_e, f_o, g_e, g_o, t_pow))
+
+    def body(args):
+        return _round_partials(*args, twist)
+
+    parts_a, parts_b = jax.lax.map(body, xs)
+    return (jnp.sum(parts_a, axis=0, dtype=jnp.uint32),
+            jnp.sum(parts_b, axis=0, dtype=jnp.uint32))
+
+
+@jax.jit
+def fold_transpose(f, g, t_pow, r, r_twist):
+    """Same eo semantics; the strided view is materialized by an
+    explicit (L, h, 2) -> (L, 2, h) transpose instead of stride-2
+    slices (zero layout bookkeeping if it matches halves speed)."""
+    L, n = f.shape
+    h = n // 2
+
+    def eo(x):
+        t = x.reshape(L, h, 2).transpose(0, 2, 1)
+        return t[:, 0], t[:, 1]
+
+    f_e, f_o = eo(f)
+    g_e, g_o = eo(g)
+    f2 = fp.add(FR, f_e, fp.mont_mul(FR, f_o, r_twist))
+    g2 = fp.add(FR, g_e, fp.mont_mul(FR, g_o, r))
+    t2 = t_pow[:, : h // 2]
+    return f2, g2, t2
+
+
+@jax.jit
+def round_message_transpose(f, g, t_pow, twist):
+    L, n = f.shape
+    h = n // 2
+
+    def eo(x):
+        t = x.reshape(L, h, 2).transpose(0, 2, 1)
+        return t[:, 0], t[:, 1]
+
+    f_e, f_o = eo(f)
+    g_e, g_o = eo(g)
+    m = h
+    if m <= SC_TILE:
+        return _round_partials(f_e, f_o, g_e, g_o, t_pow, twist)
     t = -(-m // SC_TILE)
     npad = t * SC_TILE
 
@@ -101,6 +155,10 @@ def main():
               lambda: fk(f, g, t_pow, r, rt), k, n)
         timed(f"fold halves 2^{logn}",
               lambda: fold_halves(f, g, t_pow, r, rt), k, n)
+        timed(f"fold transpose 2^{logn}",
+              lambda: fold_transpose(f, g, t_pow, r, rt), k, n)
+        timed(f"round msg transpose 2^{logn}",
+              lambda: round_message_transpose(f, g, t_pow, tw), k, n)
 
 
 if __name__ == "__main__":
