@@ -119,12 +119,24 @@ def evaluate_be(spec: FieldSpec, coeffs, x: int) -> int:
     return ip(spec, coeffs, pw)
 
 
+def eo_split(a):
+    """Even/odd columns of (..., n) via reshape + ONE transpose instead
+    of stride-2 slices: Mosaic/XLA's strided slice costs 2-4x a
+    contiguous relayout at 2^19+ lanes and grows with size (the
+    "stride-2 cliff", benches/scsplit.py / PERF.md round 5).  Bit-
+    identical outputs."""
+    *lead, n = a.shape
+    t = a.reshape(*lead, n // 2, 2)
+    perm = list(range(len(lead))) + [len(lead) + 1, len(lead)]
+    t = t.transpose(perm)
+    return t[..., 0, :], t[..., 1, :]
+
+
 @partial(jax.jit, static_argnums=0)
 def fold_polynomial(spec: FieldSpec, f, r):
     """out[k] = f[2k] + r * f[2k+1]; f must have even length
     (pad upstream).  r is an (L, 1) Montgomery scalar."""
-    f_e = f[:, 0::2]
-    f_o = f[:, 1::2]
+    f_e, f_o = eo_split(f)
     return fp.add(spec, f_e, fp.mont_mul(spec, f_o, r))
 
 

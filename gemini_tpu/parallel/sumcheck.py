@@ -37,8 +37,8 @@ from .mesh import AXIS
 
 def _local_partial_sums(f, g, t_pow, twist):
     """Local (a, b) relaxed limb columns for this shard's block."""
-    f_e, f_o = f[:, 0::2], f[:, 1::2]
-    g_e, g_o = g[:, 0::2], g[:, 1::2]
+    f_e, f_o = poly.eo_split(f)
+    g_e, g_o = poly.eo_split(g)
     a_vec = fp.mont_mul(FR, fp.mont_mul(FR, f_e, g_e), t_pow)
     cross = fp.add(
         FR,
@@ -87,7 +87,7 @@ def fold_sharded(mesh: Mesh, f, g, t_pow, r, r_twist):
     def kern(f, g, t_pow, r, r_twist):
         f2 = poly.fold_polynomial(FR, f, r_twist)
         g2 = poly.fold_polynomial(FR, g, r)
-        return f2, g2, t_pow[:, 0::2]
+        return f2, g2, poly.eo_split(t_pow)[0]
 
     return jax.jit(kern)(f, g, t_pow, r, r_twist)
 

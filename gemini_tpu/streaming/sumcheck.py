@@ -105,8 +105,8 @@ class SpaceProver:
             gb = self._load(self.gv, off, size, group)
             ff = _fold_block(fb, wf)  # (L, m*2) folded f values
             gf = _fold_block(gb, wg)
-            f_e, f_o = ff[:, 0::2], ff[:, 1::2]
-            g_e, g_o = gf[:, 0::2], gf[:, 1::2]
+            f_e, f_o = poly.eo_split(ff)
+            g_e, g_o = poly.eo_split(gf)
             m = f_e.shape[1]
             # T_k = twist_j^(2(k0 + k)) for global pair index
             k0 = off // group

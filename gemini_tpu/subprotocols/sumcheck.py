@@ -85,8 +85,8 @@ def _round_message_kernel(f, g, t_pow, twist):
     contributes nothing); per-tile relaxed sums are summed at the end
     (tile counts < 2^6 leave ample uint32 headroom).
     """
-    f_e, f_o = f[:, 0::2], f[:, 1::2]
-    g_e, g_o = g[:, 0::2], g[:, 1::2]
+    f_e, f_o = poly.eo_split(f)
+    g_e, g_o = poly.eo_split(g)
     m = f_e.shape[1]
     if m <= SC_TILE:
         return _round_partials(f_e, f_o, g_e, g_o, t_pow, twist)
@@ -192,7 +192,7 @@ def _fold_kernel(f, g, t_pow, r, r_twist, b_out: int):
     g2 = poly.fold_polynomial(FR, g, r)
     # T_k = twist^(2k); next round needs (twist^2)^(2k) = T_(2k):
     # subsample the even positions (no squaring).
-    t2 = t_pow[:, 0::2]
+    t2 = poly.eo_split(t_pow)[0]
     if f2.shape[1] > b_out:
         f2, g2, t2 = f2[:, :b_out], g2[:, :b_out], t2[:, : b_out // 2]
     elif f2.shape[1] < b_out:
