@@ -326,17 +326,33 @@ class CommitterKey:
             f"polynomial length {nmax} exceeds SRS size "
             f"{self.powers_of_g.x.shape[1]}"
         )
+        # Group by pow-4 size bucket: msm_batch pads every set to the
+        # LARGEST, so stacking the whole fold tree (sizes n, n/2, ...,
+        # 2) in one call made every tiny commit pay a full-size window
+        # chunk — ~6x the lane work at 2^18 (tensorcheck::batch_commit
+        # was 14 s of the 46 s prover).  Per-bucket calls keep the
+        # shared-pipeline win within a bucket and cost one extra
+        # readback per bucket (~9 ms each).
+        from ..ops import scan as scan_util
+
         if self.devices is not None and len(self.devices) > 1:
             from ..parallel.msm import msm_batch_multichip
 
-            results = msm_batch_multichip(
-                self.powers_of_g, [fp.from_mont(FR, p) for p in polys],
-                devices=self.devices,
-            )
+            run = lambda sets: msm_batch_multichip(
+                self.powers_of_g, sets, devices=self.devices)
         else:
-            results = msm_batch(
-                self.powers_of_g, [fp.from_mont(FR, p) for p in polys]
-            )
+            run = lambda sets: msm_batch(self.powers_of_g, sets)
+        canon = [fp.from_mont(FR, p) for p in polys]
+        groups: dict = {}
+        for i, p in enumerate(canon):
+            groups.setdefault(
+                scan_util.bucket4(max(p.shape[1], 1), floor=256), []
+            ).append(i)
+        results: list = [None] * len(polys)
+        for b in sorted(groups, reverse=True):
+            idxs = groups[b]
+            for i, r in zip(idxs, run([canon[i] for i in idxs])):
+                results[i] = r
         return [g1.decode_jacobian(r)[0] for r in results]
 
     def open(self, coeffs: jnp.ndarray, alpha: int):
